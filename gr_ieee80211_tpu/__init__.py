@@ -1,0 +1,1 @@
+"""TPU-native IEEE 802.11a/n/ac PHY framework."""

@@ -1,0 +1,30 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh by default.
+
+The driver benches on real TPU; tests stay hermetic and exercise the
+multi-chip sharding path via xla_force_host_platform_device_count.
+Set RUN_ON_TPU=1 to run the suite against the real chip instead.
+"""
+import os
+import sys
+
+if not os.environ.get("RUN_ON_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+_GOLDEN = None
+
+
+@pytest.fixture(scope="session")
+def golden():
+    global _GOLDEN
+    if _GOLDEN is None:
+        path = os.path.join(os.path.dirname(__file__), "golden", "golden.npz")
+        _GOLDEN = np.load(path, allow_pickle=False)
+    return _GOLDEN

@@ -1,0 +1,129 @@
+"""Spec-layer self-consistency + parity with reference-derived tables."""
+import numpy as np
+
+from gr_ieee80211_tpu.spec import tables as T
+from gr_ieee80211_tpu.gold import bits as B
+
+
+def test_pilot_polarity_matches_reference(golden):
+    assert np.array_equal(T.PILOT_POLARITY, golden["pilot_ps"])
+
+
+def test_vht_eof_bits_match_reference(golden):
+    assert np.array_equal(T.VHT_EOF_BITS, golden["vht_eof"])
+
+
+def test_scramble_seed93_first_bits():
+    # seed 93 scrambling of zeros = raw LFSR output; spot-check via round trip
+    seq = T.scramble_seq(93, 127)
+    assert seq.sum() == 64  # maximal-length sequence property: 64 ones
+    z = np.zeros(300, np.uint8)
+    s = B.scramble(z, 93)
+    out, seed = B.descramble(s)
+    assert seed == 93
+    assert not out.any()
+
+
+def test_scramble_roundtrip():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 500).astype(np.uint8)
+    data = bits.copy()
+    data[:7] = 0  # service bits start zero so seed is recoverable
+    scr = B.scramble(data, 71)
+    out, seed = B.descramble(scr)
+    assert seed == 71
+    assert np.array_equal(out[7:], data[7:])
+
+
+def test_bcc_encode_known():
+    # all-zero input -> all-zero output; single 1 -> both generator impulse
+    assert not B.bcc_encode(np.zeros(10, np.uint8)).any()
+    imp = np.zeros(8, np.uint8)
+    imp[0] = 1
+    coded = B.bcc_encode(imp)
+    a, c = coded[0::2], coded[1::2]
+    assert np.array_equal(a[:7], T.G0_TAPS)
+    assert np.array_equal(c[:7], T.G1_TAPS)
+
+
+def test_viterbi_hard_decisions_roundtrip():
+    rng = np.random.default_rng(1)
+    for cr in ("1/2", "2/3", "3/4", "5/6"):
+        bits = rng.integers(0, 2, 200).astype(np.uint8)
+        bits[-6:] = 0  # tail returns trellis to state 0
+        coded = B.bcc_encode_punct(bits, cr)
+        llr = (2.0 * coded - 1.0).astype(np.float64)
+        pairs = B.depuncture_llr(llr, cr, len(bits))
+        dec = B.viterbi_decode(pairs)
+        assert np.array_equal(dec, bits), cr
+
+
+def test_interleave_roundtrip():
+    rng = np.random.default_rng(2)
+    for nbpscs in (1, 2, 4, 6, 8):
+        for legacy in (True, False):
+            if legacy and nbpscs == 8:
+                continue
+            n = (48 if legacy else 52) * nbpscs * 3
+            bits = rng.integers(0, 2, n).astype(np.uint8)
+            for iss, nss in ((0, 1), (0, 2), (1, 2)):
+                inted = B.interleave(bits, nbpscs, legacy, iss, nss)
+                assert np.array_equal(
+                    B.deinterleave(inted, nbpscs, legacy, iss, nss), bits)
+
+
+def test_stream_parse_roundtrip():
+    rng = np.random.default_rng(3)
+    for nbpscs in (1, 2, 4, 6, 8):
+        nsym = 4
+        ncbps = 52 * nbpscs * 2
+        coded = rng.integers(0, 2, ncbps * nsym).astype(np.uint8)
+        ss = B.stream_parse(coded, nbpscs, 2, nsym)
+        back = B.stream_deparse(ss.astype(np.float32), nbpscs, nsym)
+        assert np.array_equal(back.astype(np.uint8), coded)
+
+
+def test_qam_tables_normalized():
+    for nbpscs in (1, 2, 4, 6, 8):
+        tab = T.qam_table(nbpscs)
+        assert np.isclose(np.mean(np.abs(tab) ** 2), 1.0)
+        # gray property: adjacent lattice points differ by one bit
+        if nbpscs >= 2:
+            m = nbpscs // 2
+            lev = np.round(tab.real * T.KMOD[nbpscs]).astype(int)
+            for a in range(1 << nbpscs):
+                for b in range(a + 1, 1 << nbpscs):
+                    if abs(lev[a] - lev[b]) == 2 and tab[a].imag == tab[b].imag:
+                        assert bin(a ^ b).count("1") == 1
+
+
+def test_crc8_reference_vector():
+    # CRC8 of 34 zero bits should match the bit-serial reference recursion
+    def ref_crc8(bits_in):
+        c = [1] * 8
+        for b in bits_in:
+            nc = [0] * 8
+            nc[0] = b ^ c[7]
+            nc[1] = b ^ c[7] ^ c[0]
+            nc[2] = b ^ c[7] ^ c[1]
+            nc[3:8] = c[2:7]
+            c = nc
+        return [1 - x for x in c[::-1]]
+
+    rng = np.random.default_rng(4)
+    for n in (16, 20, 34):
+        bits = rng.integers(0, 2, n).tolist()
+        assert np.array_equal(T.crc8_bits(bits), ref_crc8(bits))
+
+
+def test_viterbi_tables_consistent_with_encoder():
+    nxt, out = T.viterbi_tables()
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, 50).astype(np.uint8)
+    coded = B.bcc_encode(bits)
+    s = 0
+    for t, b in enumerate(bits):
+        o = out[s, b]
+        assert (o >> 1) & 1 == coded[2 * t]
+        assert o & 1 == coded[2 * t + 1]
+        s = nxt[s, b]
