@@ -1,0 +1,86 @@
+"""MU-MIMO closed loop: NDP sounding -> feedback -> ZF Q -> per-user decode.
+
+Replicates the reference cmu_v3 control loop (tools/cmu_v3/cmu_ap.py) offline.
+"""
+import numpy as np
+
+from gr_ieee80211_tpu.spec.params import PhyConfig, Fmt, MuConfig
+from gr_ieee80211_tpu.gold import tx, rx, mac, channel, sounding
+
+
+def test_mu_closed_loop():
+    rng = np.random.default_rng(42)
+    h_sta = [(rng.normal(size=(1, 2)) + 1j * rng.normal(size=(1, 2))) / np.sqrt(2)
+             for _ in range(2)]
+
+    # 1) AP sounds with an NDP; each STA estimates and feeds back its row
+    ndp = tx.tx_waveform(PhyConfig(Fmt.VHT, 0, 2, 0, ampdu=True), b"",
+                         group_id=0, partial_aid=0)
+    fb = []
+    for u in range(2):
+        stream = channel.frame_stream(channel.mimo_channel(ndp, h_sta[u]),
+                                      1.0, 200.0 + 100 * u, gap=1200)
+        stream = channel.awgn(stream, 0.015 / 10 ** (35 / 20), rng)
+        p = rx.receive(stream)[0]
+        assert p.is_ndp
+        fb.append(sounding.feedback_from_ndp(p.ndp_chan)[0])
+
+    # 2) AP computes per-subcarrier ZF Q
+    q56 = sounding.zf_q(np.stack(fb))
+    bfq = sounding.q_to_grid(q56)
+
+    # 3) MU downlink data; 4) each STA decodes only its own stream
+    mpdu0 = mac.qos_data_frame(b"user zero data " * 8, "02:00:00:00:00:10",
+                               "02:00:00:00:00:01", "02:00:00:00:00:10", 5)
+    mpdu1 = mac.qos_data_frame(b"USER ONE DATA " * 6, "02:00:00:00:00:11",
+                               "02:00:00:00:00:01", "02:00:00:00:00:11", 6)
+    a0 = mac.ampdu_aggregate_vht([mpdu0])
+    a1 = mac.ampdu_aggregate_vht([mpdu1])
+    mu = MuConfig((PhyConfig(Fmt.VHT, 3, 1, len(a0), ampdu=True),
+                   PhyConfig(Fmt.VHT, 2, 1, len(a1), ampdu=True)), group_id=2)
+    wave = tx.tx_waveform_mu(mu, [a0, a1], bfq)
+    for u, mpdu in enumerate([mpdu0, mpdu1]):
+        stream = channel.frame_stream(channel.mimo_channel(wave, h_sta[u]),
+                                      1.0, 150.0, gap=1200)
+        stream = channel.awgn(stream, 0.012 / 10 ** (30 / 20), rng)
+        p = rx.receive(stream, mu_pos=u)[0]
+        assert p.ok and p.mu
+        assert p.mpdus[0] == mpdu
+
+
+def test_givens_compress_roundtrip():
+    rng = np.random.default_rng(3)
+    for (m, n) in ((2, 1), (2, 2), (3, 2), (4, 2)):
+        a = rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n))
+        u, _, _ = np.linalg.svd(a, full_matrices=False)
+        v = u[:, :n]
+        vals, types = sounding.givens_compress(v, codebook=1)
+        assert types == sounding.angle_order(m, n)
+        vt = sounding.givens_decompress(vals, types, m, n, codebook=1)
+        # recovered V~ equals V up to per-column phase (the D~ convention)
+        dt = np.exp(1j * np.angle(v[m - 1, :]))
+        v_ref = v * np.conj(dt)[None, :]
+        assert np.abs(vt - v_ref).max() < 0.05, (m, n)
+
+
+def test_bf_report_pack_roundtrip():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+    u, _, _ = np.linalg.svd(a)
+    vals, types = sounding.givens_compress(u, codebook=0)
+    blob = sounding.pack_bf_report(vals, types, codebook=0)
+    back = sounding.unpack_bf_report(blob, sounding.angle_order(2, 2), codebook=0)
+    assert back == vals
+
+
+def test_zf_q_separates_users():
+    rng = np.random.default_rng(5)
+    h = (rng.normal(size=(2, 2, 56)) + 1j * rng.normal(size=(2, 2, 56)))
+    q = sounding.zf_q(h)
+    # H(k) Q(k) must be diagonal for every subcarrier
+    hq = np.einsum("utk,ktj->kuj", h, q)
+    off = np.abs(hq[:, 0, 1]) + np.abs(hq[:, 1, 0])
+    on = np.abs(hq[:, 0, 0]) + np.abs(hq[:, 1, 1])
+    assert off.max() < 1e-9 * max(1.0, on.max())
+    # normalization: ||Q||_F = sqrt(nSTS)
+    assert np.allclose(np.linalg.norm(q, axis=(1, 2)), np.sqrt(2))
