@@ -1,0 +1,99 @@
+"""Headline benchmark: full-chain RX throughput, VHT MCS7, on one TPU chip.
+
+Protocol mirrors the reference PER harness packet shape
+(tools/performance/perf_siso.py: ~500 B payloads, VHT) but measures the
+batched TPU engine: device-side detection -> sync/CFO -> batched demod ->
+Pallas Viterbi -> descramble -> MXU CRC32.  Only candidate indices and the
+final ok-count cross the host boundary.
+
+Baseline: the reference decode block alone costs 93-250 CPU ticks per LLR
+item (Gr_WiFi_Time_Complexity_Report, Table 1).  Taking its most favorable
+point (93 ticks at the i7-11700's 4.9 GHz boost) for a VHT MCS7 500 B packet
+(19 symbols x 312 coded bits = 5928 LLR items) gives 4.9e9/(5928*93) ~= 8888
+packets/s as the reference ceiling for its bottleneck stage on one core --
+the denominator for vs_baseline (the reference's full chain is slower).
+
+Prints ONE json line to stdout; diagnostics go to stderr.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gr_ieee80211_tpu.spec.params import PhyConfig, Fmt
+    from gr_ieee80211_tpu.gold import tx, mac, channel
+    from gr_ieee80211_tpu.models import rx as RXM
+    from gr_ieee80211_tpu.ops import frontend as FE
+
+    rng = np.random.default_rng(1)
+    payload = bytes(rng.integers(0, 256, 500, dtype=np.uint8))
+    mpdu = mac.qos_data_frame(payload, "f4:69:d5:80:0f:a0",
+                              "00:c0:ca:b1:5b:e1", "f4:69:d5:80:0f:a0", 7)
+    am = mac.ampdu_aggregate_vht([mpdu])
+    cfg = PhyConfig(Fmt.VHT, 7, 1, len(am), ampdu=True)
+    wave = tx.tx_waveform(cfg, am, group_id=0, partial_aid=0)[0]
+    log(f"cfg: VHT mcs7 1ss, mpdu {len(mpdu)} B, psdu {cfg.psdu_len} B, "
+        f"nsym {cfg.nsym}, wave {len(wave)} samples")
+
+    B = 4096
+    gap = 240
+    spacing = len(wave) + gap
+    stream = np.zeros(B * spacing + 2048, np.complex64)
+    w = channel.apply_cfo(wave, 900.0).astype(np.complex64)
+    for i in range(B):
+        stream[1024 + i * spacing: 1024 + i * spacing + len(wave)] = w
+    rms = float(np.sqrt(np.mean(np.abs(wave) ** 2)))
+    stream += (rng.normal(size=len(stream)) + 1j * rng.normal(size=len(stream))
+               ).astype(np.complex64) * (rms / 10 ** (32 / 20) / np.sqrt(2))
+    n_iq = len(stream)
+    log(f"stream: {n_iq/1e6:.1f} M samples ({B} packets)")
+
+    dev = jnp.asarray(stream)[None]
+    eng = RXM.RxEngine(nrx=1)
+
+    def full_chain(dev):
+        m, _ = FE.stf_metrics(dev[0])
+        trigs = FE.detect_plateaus(m, max_out=B)
+        trigs = jnp.maximum(trigs, 0)
+        ltf_idx, peak, cfo = RXM._sync_core(dev[0], trigs, 0)
+        out = RXM._payload_core(cfg, dev, ltf_idx, cfo, nrx=1,
+                                mpdu_len=len(mpdu))
+        return out["mpdu_fcs_ok"]
+
+    fn = jax.jit(full_chain)
+    ok = fn(dev)
+    n_ok = int(jnp.sum(ok))   # forces completion; tiny transfer
+    log(f"warmup: {n_ok}/{B} packets passed FCS")
+    if n_ok < 0.99 * B:
+        log("WARNING: decode success below 99%, numbers may be invalid")
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        n_ok = int(jnp.sum(fn(dev)))
+    dt = (time.perf_counter() - t0) / n_rep
+    pkts_s = B / dt
+    samples_s = n_iq / dt
+    ref_pkts_s = 4.9e9 / (cfg.nsym * 312 * 93)
+    log(f"{dt*1e3:.1f} ms/batch; {pkts_s:,.0f} pkt/s; {samples_s/1e6:.0f} Msamp/s; "
+        f"ok {n_ok}/{B}; ref ceiling {ref_pkts_s:,.0f} pkt/s")
+    print(json.dumps({
+        "metric": "rx_full_chain_packets_per_s_per_chip_vht_mcs7_500B",
+        "value": round(pkts_s, 1),
+        "unit": "packets/s",
+        "vs_baseline": round(pkts_s / ref_pkts_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

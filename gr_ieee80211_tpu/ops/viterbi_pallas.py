@@ -1,0 +1,178 @@
+"""Pallas TPU kernel for the Viterbi add-compare-select sweep.
+
+Layout: path metrics live in VMEM as (64 states, 128 packets) — states in
+sublanes, a 128-packet tile in lanes.  The de Bruijn predecessor structure
+(pred(s') = {2s', 2s'+1}) makes the per-step gather a contiguous-pair split:
+
+    a = pm[0::2]   (32, 128)   # even predecessors
+    b = pm[1::2]   (32, 128)   # odd predecessors
+    half_lo = max(a + bm_a0, b + bm_b0)    # next states  0..31 (in-bit 0)
+    half_hi = max(a + bm_a1, b + bm_b1)    # next states 32..63 (in-bit 1)
+
+Branch metrics are 0/1-masked sums of the two per-packet LLR lane vectors, so
+one trellis step is ~16 VPU ops on (32, 128) tiles with two stride-2 sublane
+reads and no lane shuffles at all.  The grid walks (batch tiles, T chunks)
+with T innermost; pm persists in scratch across T chunks.  Decisions stream
+out as (T, 64, B) int8 for the (XLA) traceback scan.
+
+Replaces the pure-XLA scan in ``ops.viterbi`` on TPU (~an order of magnitude
+faster); the XLA path remains as the interpret/CPU fallback and oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec import tables as T
+
+NEG = -1e9
+B_TILE = 128
+T_CHUNK = 128
+
+
+def _branch_masks_in_kernel():
+    """0/1 masks (float32, (32, 1)) for the four half-transitions, computed
+    from iota (pallas kernels cannot capture host constants).
+
+    For predecessor p = 2j + parity with input bit b:
+      out0 = b ^ p4 ^ p3 ^ p1 ^ p0,   out1 = b ^ p5 ^ p4 ^ p3 ^ p0
+    (state bit k of p = b_{t-1-(5-k)}; generators 133o/171o).
+    """
+    j = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+
+    def outs(parity, b):
+        p = 2 * j + parity
+        bit = lambda k: (p >> k) & 1
+        o0 = (b ^ bit(4) ^ bit(3) ^ bit(1) ^ bit(0)) & 1
+        o1 = (b ^ bit(5) ^ bit(4) ^ bit(3) ^ bit(0)) & 1
+        return o0.astype(jnp.float32), o1.astype(jnp.float32)
+
+    return {(half, parity): outs(parity, b_in)
+            for half, b_in in ((0, 0), (1, 1)) for parity in (0, 1)}
+
+
+def _acs_kernel(llr0_ref, llr1_ref, dec_ref, pm):
+    tc = pl.program_id(1)
+
+    @pl.when(tc == 0)
+    def _():
+        row = jax.lax.broadcasted_iota(jnp.int32, (64, B_TILE), 0)
+        pm[:] = jnp.where(row == 0, 0.0, NEG)
+
+    masks = _branch_masks_in_kernel()
+    (a00, a10) = masks[(0, 0)]
+    (b00, b10) = masks[(0, 1)]
+    (a01, a11) = masks[(1, 0)]
+    (b01, b11) = masks[(1, 1)]
+
+    def step(t, carry):
+        p = carry
+        l0 = llr0_ref[t, :][None, :]        # (1, 128)
+        l1 = llr1_ref[t, :][None, :]
+        pr = p.reshape(32, 2, B_TILE)
+        ev = pr[:, 0, :]                    # (32, 128) even predecessors
+        od = pr[:, 1, :]
+        cand_a_lo = ev + a00 * l0 + a10 * l1
+        cand_b_lo = od + b00 * l0 + b10 * l1
+        cand_a_hi = ev + a01 * l0 + a11 * l1
+        cand_b_hi = od + b01 * l0 + b11 * l1
+        dec_lo = cand_b_lo > cand_a_lo
+        dec_hi = cand_b_hi > cand_a_hi
+        new_lo = jnp.maximum(cand_a_lo, cand_b_lo)
+        new_hi = jnp.maximum(cand_a_hi, cand_b_hi)
+        dec_ref[t, :, :] = jnp.concatenate(
+            [dec_lo, dec_hi], axis=0).astype(jnp.int8)
+        return jnp.concatenate([new_lo, new_hi], axis=0)
+
+    p = jax.lax.fori_loop(0, T_CHUNK, step, pm[:])
+    # renormalize once per chunk to keep f32 exact over 32k-step trellises
+    pm[:] = p - jnp.max(p, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def acs_sweep(llr0: jax.Array, llr1: jax.Array, interpret: bool = False):
+    """Forward ACS over the whole trellis.
+
+    llr0, llr1: (T, B) float32 with T % T_CHUNK == 0 and B % 128 == 0.
+    Returns decisions (T, 64, B) int8 (1 = odd predecessor won).
+    """
+    n_steps, B = llr0.shape
+    assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
+    grid = (B // B_TILE, n_steps // T_CHUNK)
+    return pl.pallas_call(
+        _acs_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T_CHUNK, 64, B_TILE), lambda bt, tc: (tc, 0, bt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, 64, B), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
+        interpret=interpret,
+    )(llr0, llr1)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps_out",))
+def _traceback(decisions: jax.Array, n_steps_out: int):
+    """decisions (T, 64, B) int8 -> bits (B, n_steps_out) uint8.
+
+    Gather-free traceback: the survivor state is carried as a one-hot
+    (64, B) mask.  One step is
+
+        bit     = any(mask[32:])                  # current state's MSB
+        v0, v1  = mask*(1-dec), mask*dec          # chosen predecessor parity
+        fold*   = v*[ :32] + v*[32: ]             # s and s+32 both map to 2s%64
+        mask'   = interleave(fold0, fold1)        # pred = 2s%64 (+1 if dec)
+
+    i.e. ~8 VPU ops on (64, B) tiles per step and zero gathers, so the
+    backward pass runs at the same speed class as the forward ACS kernel.
+
+    Starts from state 0 (valid for tail-terminated / zero-padded trellises:
+    padding steps keep the state-0 path with ties broken to the even
+    predecessor)."""
+    n_steps, _, B = decisions.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
+    mask0 = (row == 0).astype(jnp.float32)
+
+    def back(mask, dec_t):
+        d = dec_t.astype(jnp.float32)
+        bit = jnp.sum(mask[32:], axis=0)
+        v0 = mask * (1.0 - d)
+        v1 = mask * d
+        f0 = v0[:32] + v0[32:]
+        f1 = v1[:32] + v1[32:]
+        nxt = jnp.stack([f0, f1], axis=1).reshape(64, B)
+        return nxt, bit.astype(jnp.uint8)
+
+    _, bits_rev = jax.lax.scan(back, mask0, decisions[::-1], unroll=8)
+    return bits_rev[::-1].transpose(1, 0)[:, :n_steps_out]
+
+
+def viterbi_decode_pallas(llr_pairs: jax.Array) -> jax.Array:
+    """Drop-in for ops.viterbi.viterbi_decode (traceback from state 0).
+
+    llr_pairs: (B, T, 2) float32 -> (B, T) uint8.  Pads T to a T_CHUNK
+    multiple and B to a 128 multiple internally.
+    """
+    B, n_steps, _ = llr_pairs.shape
+    Tp = -(-n_steps // T_CHUNK) * T_CHUNK
+    Bp = -(-B // B_TILE) * B_TILE
+    x = jnp.pad(llr_pairs, ((0, Bp - B), (0, Tp - n_steps), (0, 0)))
+    llr0 = x[:, :, 0].transpose(1, 0)
+    llr1 = x[:, :, 1].transpose(1, 0)
+    dec = acs_sweep(llr0, llr1, interpret=not _on_tpu())
+    return _traceback(dec, n_steps)[:B]

@@ -1,0 +1,133 @@
+"""Device-mesh scale-out for the PHY pipelines.
+
+The reference scales by GNU Radio scheduler threads and bounded ring buffers
+on one host (SURVEY.md section 2.7).  Here the two parallel axes that exist
+in the workload map onto a JAX mesh:
+
+* ``dp`` — packet-batch data parallelism: buckets of same-config packets are
+  sharded across chips; each chip runs the identical demod+decode program;
+  per-packet results need no communication (a psum only for counters).
+* ``sp`` — sample-stream (time) parallelism: the IQ timeline is split into
+  contiguous blocks with a >=512-sample halo exchanged from the right
+  neighbor over ICI (``jax.lax.ppermute``), so the sliding STF/LTF
+  correlators see across block boundaries (overlap-save).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..spec.params import PhyConfig, Fmt
+from ..spec import tables as T
+from ..ops import frontend as FE
+from ..ops import ofdm as OF
+from ..ops import viterbi as VXLA
+from ..ops import crc as CRC
+
+
+def make_mesh(n_devices: int | None = None, axes=("dp",)) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = np.array(devs[:n])
+    if len(axes) == 1:
+        return Mesh(devs.reshape(n), axes)
+    # 2D: split as evenly as possible
+    a = int(np.sqrt(n))
+    while n % a:
+        a -= 1
+    return Mesh(devs.reshape(a, n // a), axes)
+
+
+# ---------------------------------------------------------------------------
+# dp: packet-sharded payload decode
+# ---------------------------------------------------------------------------
+
+def payload_decode_dp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0):
+    """Build a jitted packet-sharded decode step.
+
+    Input: aligned CFO-corrected sample windows (B, n_samp) with B divisible
+    by the dp axis size; output: (psdu bytes (B, psdu_len), fcs_ok (B,),
+    global ok count).  Uses the XLA Viterbi so the same program compiles on
+    CPU meshes (the Pallas kernel is a drop-in on real multi-chip slices).
+    """
+    from ..models.rx import _data_start
+
+    n_samp = _data_start(cfg) + 80 * cfg.nsym
+
+    def local_decode(xs):
+        # xs: (b_local, n_samp), t=0 at the L-LTF window; fine CFO from the
+        # LTF lag-64 autocorrelation, then the full demod+decode chain
+        cfo = FE.fine_cfo_batch(xs[:, :128], jnp.zeros(xs.shape[0]))
+        t = np.arange(n_samp)
+        xs = xs * jnp.exp(-1j * 2 * np.pi * cfo[:, None] / FE.FS * t[None, :])
+        if cfg.fmt == Fmt.L:
+            h0 = OF.legacy_chanest(xs, 0)
+            h = h0[:, None, None, :]
+            pilot_h = h0[:, T.PILOT_IDX][:, None, :]
+        else:
+            h, pilot_h = OF.nl_chanest(xs[:, None], 208 + 160 + 80,
+                                       cfg.nltf, cfg.nss, nrx_axis=True)
+            if cfg.fmt == Fmt.HT:
+                pilot_h = h[:, :, :, T.PILOT_IDX].sum(axis=2)
+        grids = OF.fft_syms(
+            OF.extract_sym_windows(xs, _data_start(cfg), cfg.nsym))[:, None]
+        llr = OF.equalize_and_demap(grids, h, pilot_h, cfg, nrx_axis=True)
+        coded = OF.deinterleave_deparse(llr, cfg)
+        bits = VXLA.viterbi_decode(VXLA.depuncture(coded, cfg.cr, cfg.n_trellis))
+        data = OF.descramble_bits(bits)
+        psdu_bits = data[:, 16: 16 + 8 * cfg.psdu_len]
+        psdu = OF.bits_to_bytes_batch(psdu_bits)
+        if cfg.fmt == Fmt.VHT and mpdu_len > 4:
+            ok = CRC.fcs_ok_batch(psdu_bits[:, 32: 32 + 8 * mpdu_len],
+                                  8 * mpdu_len)
+        elif cfg.fmt != Fmt.VHT and cfg.psdu_len > 4:
+            ok = CRC.fcs_ok_batch(psdu_bits, 8 * cfg.psdu_len)
+        else:
+            ok = jnp.zeros(xs.shape[0], bool)
+        total = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), "dp")
+        return psdu, ok, total
+
+    fn = shard_map(local_decode, mesh=mesh,
+                   in_specs=(P("dp", None),),
+                   out_specs=(P("dp", None), P("dp"), P()))
+    return jax.jit(fn), n_samp
+
+
+# ---------------------------------------------------------------------------
+# sp: time-sharded streaming front end with halo exchange
+# ---------------------------------------------------------------------------
+
+HALO = 512  # >= preamble + SIG span the correlators need across a boundary
+
+
+def frontend_sp(mesh: Mesh, max_out_per_shard: int = 512):
+    """Build a jitted time-sharded detector.
+
+    Input: IQ stream (N,) with N divisible by the sp axis; each shard pulls
+    a HALO tail from its right neighbor (ppermute over ICI), computes the
+    STF plateau metric on block+halo, and reports global candidate indices
+    (padded with -1).
+    """
+    sp = mesh.axis_names[-1]
+
+    def local_fe(block):
+        blk = block.reshape(-1)
+        n_local = blk.shape[0]
+        head = jax.lax.dynamic_slice(blk, (0,), (HALO,))
+        n_dev = jax.lax.axis_size(sp)
+        left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        halo = jax.lax.ppermute(head, sp, perm=left)  # my right neighbor's head
+        ext = jnp.concatenate([blk, halo])
+        m, _ = FE.stf_metrics(ext)
+        cand = FE.detect_plateaus(m, max_out=max_out_per_shard)
+        cand = jnp.where((cand >= 0) & (cand < n_local),
+                         cand + jax.lax.axis_index(sp) * n_local, -1)
+        return cand[None]
+
+    fn = shard_map(local_fe, mesh=mesh, in_specs=(P(sp),), out_specs=P(sp))
+    return jax.jit(fn)

@@ -8,7 +8,10 @@ import os
 import sys
 
 if not os.environ.get("RUN_ON_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # the image pre-sets JAX_PLATFORMS=axon, so override (not setdefault);
+    # JAX_PLATFORM_NAME is also honored when a plugin re-reads JAX_PLATFORMS
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
