@@ -25,6 +25,7 @@ from ..spec.params import Fmt, PhyConfig
 from ..gold import sig as S
 from ..gold import mac as MAC
 from ..ops import frontend as FE
+from ..ops.cplx import CF, cstack, from_host
 from ..ops import ofdm as OF
 from ..ops import crc as CRC
 from ..ops.viterbi_pallas import viterbi_decode_pallas
@@ -34,6 +35,19 @@ from ..ops import viterbi as VXLA
 # offsets relative to ltf_idx (nominal L-LTF window start)
 LSIG_GI = 128
 NLSIG_GI = 208
+
+#: min spacing between distinct packet triggers: the VHT/HT-STF at +560 into
+#: a packet re-fires the lag-16 detector, so fragments within this span are
+#: one packet (preamble clusters span <700; packets are >=720 samples)
+TRIG_DEDUP_SPACING = 700
+
+
+def dedup_triggers(cand: np.ndarray) -> np.ndarray:
+    """Keep the first candidate of each <TRIG_DEDUP_SPACING cluster."""
+    if len(cand) == 0:
+        return cand.astype(np.int32)
+    keep = np.concatenate([[True], np.diff(cand) > TRIG_DEDUP_SPACING])
+    return cand[keep].astype(np.int32)
 
 
 @dataclasses.dataclass
@@ -54,8 +68,8 @@ class RxResult:
 # Jitted cores
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _sync_core(stream: jax.Array, trigs: jax.Array, n: int):
+@jax.jit
+def _sync_core(stream: CF, trigs: jax.Array):
     """Candidate triggers -> (ltf_idx abs, peak, cfo)."""
     wins = FE.gather_windows(stream, trigs + 80, 368)
     off, peak = FE.ltf_fine_sync(wins)
@@ -68,26 +82,25 @@ def _sync_core(stream: jax.Array, trigs: jax.Array, n: int):
 
 
 @jax.jit
-def _sig_core(stream: jax.Array, ltf_idx: jax.Array, cfo: jax.Array):
+def _sig_core(stream: CF, ltf_idx: jax.Array, cfo: jax.Array):
     """Decode L-SIG + both non-legacy SIG hypotheses for a sync batch.
 
     Returns (lsig_bits (B,24), ht_bits (B,48), vht_bits (B,48))."""
     xs = FE.derotate_batch(stream, ltf_idx, cfo, 368 + 128)
     h = OF.legacy_chanest(xs, 0)
-    hnz = jnp.where(jnp.abs(h) > 1e-9, h, 1.0 + 0j)
 
     def eq_sym(gi_start):
         g = OF.fft_syms(xs[:, gi_start + 16: gi_start + 80])
-        return g / hnz
+        return g / h
 
     perm = T.interleave_perm_legacy(1)
     e_lsig = eq_sym(LSIG_GI)[:, T.DATA_IDX_L][:, perm]
     lsig_bits = VXLA.viterbi_decode(
-        VXLA.depuncture(e_lsig.real.astype(jnp.float32), "1/2", 24))
+        VXLA.depuncture(e_lsig.re.astype(jnp.float32), "1/2", 24))
     e1 = eq_sym(NLSIG_GI)[:, T.DATA_IDX_L][:, perm]
     e2 = eq_sym(NLSIG_GI + 80)[:, T.DATA_IDX_L][:, perm]
-    vht_llr = jnp.concatenate([e1.real, e2.imag], axis=1).astype(jnp.float32)
-    ht_llr = jnp.concatenate([e1.imag, e2.imag], axis=1).astype(jnp.float32)
+    vht_llr = jnp.concatenate([e1.re, e2.im], axis=1).astype(jnp.float32)
+    ht_llr = jnp.concatenate([e1.im, e2.im], axis=1).astype(jnp.float32)
     vht_bits = VXLA.viterbi_decode(VXLA.depuncture(vht_llr, "1/2", 48))
     ht_bits = VXLA.viterbi_decode(VXLA.depuncture(ht_llr, "1/2", 48))
     return lsig_bits, ht_bits, vht_bits
@@ -102,7 +115,7 @@ def _data_start(cfg: PhyConfig) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nrx", "mpdu_len"))
-def _payload_core(cfg: PhyConfig, stream: jax.Array, ltf_idx: jax.Array,
+def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
                   cfo: jax.Array, nrx: int = 1, mpdu_len: int = 0):
     """Full payload demod+decode for one config bucket.
 
@@ -112,8 +125,8 @@ def _payload_core(cfg: PhyConfig, stream: jax.Array, ltf_idx: jax.Array,
     """
     data_start = _data_start(cfg)
     n_need = data_start + 80 * cfg.nsym
-    xs = jnp.stack([FE.derotate_batch(stream[r], ltf_idx, cfo, n_need)
-                    for r in range(nrx)], axis=1)   # (B, nrx, n)
+    xs = cstack([FE.derotate_batch(stream[r], ltf_idx, cfo, n_need)
+                 for r in range(nrx)], axis=1)      # (B, nrx, n)
     if cfg.fmt == Fmt.L:
         h0 = OF.legacy_chanest(xs[:, 0], 0)
         h = h0[:, None, None, :]
@@ -122,9 +135,10 @@ def _payload_core(cfg: PhyConfig, stream: jax.Array, ltf_idx: jax.Array,
         h, pilot_h = OF.nl_chanest(xs, 208 + 160 + 80, cfg.nltf, cfg.nss,
                                    nrx_axis=True)
         if cfg.fmt == Fmt.HT:
-            pilot_h = h[:, :, :, T.PILOT_IDX].sum(axis=2)
-    grids = jnp.stack([OF.extract_sym_windows(xs[:, r], data_start, cfg.nsym)
-                       for r in range(nrx)], axis=1)
+            from ..ops.cplx import csum as _csum
+            pilot_h = _csum(h[:, :, :, T.PILOT_IDX], axis=2)
+    grids = cstack([OF.extract_sym_windows(xs[:, r], data_start, cfg.nsym)
+                    for r in range(nrx)], axis=1)
     grids = OF.fft_syms(grids)                       # (B, nrx, nsym, 64)
     llr = OF.equalize_and_demap(grids, h, pilot_h, cfg, nrx_axis=True)
     coded = OF.deinterleave_deparse(llr, cfg)        # (B, nsym*ncbps)
@@ -161,23 +175,17 @@ class RxEngine:
         m, _ = FE.stf_metrics(stream0)
         cand = np.asarray(FE.detect_plateaus(m, max_out=max_out))
         cand = cand[cand >= 0]
-        # de-duplicate plateau fragments within one preamble span
-        out, last = [], -10**9
-        for c in cand:
-            if c - last >= 400:
-                out.append(int(c))
-                last = c
-        return np.asarray(out, dtype=np.int32)
+        return dedup_triggers(cand)
 
     # -- full pipeline -----------------------------------------------------
     def process(self, stream: np.ndarray, expect_cfg: PhyConfig | None = None
                 ) -> list[RxResult]:
         stream = np.atleast_2d(stream)
-        dev = jnp.asarray(stream.astype(np.complex64))
+        dev = from_host(stream)
         trigs = self.detect(dev[0])
         if len(trigs) == 0:
             return []
-        ltf_idx, peak, cfo = _sync_core(dev[0], jnp.asarray(trigs), 0)
+        ltf_idx, peak, cfo = _sync_core(dev[0], jnp.asarray(trigs))
         ltf_idx, peak, cfo = (np.asarray(ltf_idx), np.asarray(peak),
                               np.asarray(cfo))
         keep = peak > 0.5
@@ -268,20 +276,20 @@ class RxEngine:
 
     def _ndp_chan(self, dev, ltf_idx: int, cfo: float, nsts: int) -> np.ndarray:
         nltf = int(T.N_LTF_OF_NSTS[nsts])
-        xs = jnp.stack([FE.derotate_batch(dev[r], jnp.asarray([ltf_idx]),
-                                          jnp.asarray([cfo]),
-                                          208 + 160 + 80 + 80 * nltf)[0]
-                        for r in range(self.nrx)])
+        xs = cstack([FE.derotate_batch(dev[r], jnp.asarray([ltf_idx]),
+                                       jnp.asarray([cfo]),
+                                       208 + 160 + 80 + 80 * nltf)[0]
+                     for r in range(self.nrx)], axis=0)
         h, _ = OF.nl_chanest(xs[None], 208 + 160 + 80, nltf, nsts,
                              nrx_axis=True)
-        return np.asarray(h[0])
+        return np.asarray(h.re[0]) + 1j * np.asarray(h.im[0])
 
     # -- known-config fast path (bench / PER harness) ----------------------
-    def decode_aligned(self, cfg: PhyConfig, stream: np.ndarray | jax.Array,
+    def decode_aligned(self, cfg: PhyConfig, stream: np.ndarray,
                        ltf_idx: np.ndarray, cfo: np.ndarray,
                        mpdu_len: int = 0) -> dict:
         """Decode a batch of same-config packets at known sync positions."""
-        dev = jnp.asarray(np.atleast_2d(stream))
+        dev = from_host(np.atleast_2d(stream))
         return _payload_core(cfg, dev[: self.nrx], jnp.asarray(ltf_idx),
                              jnp.asarray(cfo), nrx=self.nrx,
                              mpdu_len=mpdu_len)

@@ -1,0 +1,192 @@
+"""Batched TPU transmit engine.
+
+One jitted program per :class:`PhyConfig` maps a (B, psdu_len) byte batch to
+(B, nss, n_samples) baseband CF waveforms:
+
+* bit pipeline (scramble/BCC/puncture/stream-parse/interleave) as XOR
+  convolutions and one static gather;
+* QAM mapping as table lookups, grid assembly as static scatters;
+* the IFFT as an MXU matmul (``cplx.idft64``) over (B*nss*nsym, 64);
+* the preamble as a per-config constant template and the symbol-boundary
+  windowing as one static scale mask over the whole waveform.
+
+Everything before the payload bits is identical across the batch, so XLA
+folds it; numerics match the gold TX (= reference PY-TB) to float32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import tables as T
+from ..spec.params import Fmt, PhyConfig
+from ..gold import tx as GTX
+from ..ops.cplx import CF, idft64
+from ..ops import ofdm as OF
+
+
+@functools.lru_cache(maxsize=None)
+def _static_parts(cfg: PhyConfig, group_id: int, partial_aid: int):
+    """Per-config constants: preamble template, pad bits, perms, masks."""
+    from ..gold import sig as S
+
+    nss = cfg.nss
+    chunks = GTX.legacy_training(nss) + [GTX.lsig_field(cfg, nss)]
+    sigb_crc = np.zeros(8, np.uint8)
+    if cfg.fmt == Fmt.HT:
+        chunks += GTX._dual_sym_sig(S.htsig_bits(cfg), nss, qbpsk_first=True)
+        chunks += GTX.nl_training(nss, cfg.nltf, Fmt.HT)
+    elif cfg.fmt == Fmt.VHT:
+        chunks += GTX._dual_sym_sig(S.vhtsiga_bits(cfg, group_id, partial_aid),
+                                    nss, qbpsk_first=False)
+        chunks += GTX.nl_training(nss, cfg.nltf, Fmt.VHT)
+        sigb, sigb_crc = S.vhtsigb_bits(cfg)
+        chunks.append(GTX.vhtsigb_field(GTX.interleave_sigb(sigb), nss))
+    pre = np.concatenate(chunks, axis=-1)          # (nss, n_pre), unhalved
+    chunk_lens = [c.shape[-1] for c in chunks] + [80] * cfg.nsym
+
+    # boundary window mask over the full waveform
+    n_total = sum(chunk_lens)
+    mask = np.ones(n_total, np.float32)
+    pos = 0
+    for ln in chunk_lens[:-1]:
+        pos += ln
+        mask[pos - 1] *= 0.5
+        mask[pos] *= 0.5
+
+    # service/pad bit template
+    service = np.zeros(16, np.uint8)
+    if cfg.fmt == Fmt.VHT:
+        service[8:] = sigb_crc
+        tail_bits = np.concatenate(
+            [np.tile(T.VHT_EOF_BITS, cfg.n_pad_eof),
+             np.zeros(8 * cfg.n_pad_octet, np.uint8),
+             np.zeros(cfg.n_pad_bits, np.uint8)])
+    else:
+        tail_bits = np.zeros(6 * cfg.nes + cfg.n_pad_bits, np.uint8)
+
+    # TX interleave+stream-parse permutation: the RX gather has
+    # coded[i] = inter_flat[rxp[i]], so inter_flat = coded[:, g] with
+    # g = rxp^{-1} (g[rxp[i]] = i)
+    rxp = OF._deint_deparse_perm(cfg.fmt, cfg.nbpscs, cfg.nss, cfg.nsym)
+    g = np.empty_like(rxp)
+    g[rxp] = np.arange(len(rxp))
+
+    # puncture keep indices
+    pat = T.PUNCTURE[cfg.cr]
+    n2 = 2 * cfg.n_trellis
+    keep = np.tile(pat, -(-n2 // len(pat)))[:n2].astype(bool)
+    punct_idx = np.nonzero(keep)[0].astype(np.int32)
+
+    # pilots, CSD, per-symbol data grids scaffolding
+    pilots = OF._pilot_matrix(cfg.fmt, cfg.nss, cfg.nsym)    # (nsym, nss, 4)
+    csd = np.stack([T.csd_phase(T.CSD_NL_NS[nss - 1][s]) for s in range(nss)])
+    qtab = T.qam_table(cfg.nbpscs)
+    scale = 1.0 / np.sqrt((T.NTF_DATA_L if cfg.fmt == Fmt.L else T.NTF_DATA_NL) * nss)
+    return dict(
+        pre_re=pre.real.astype(np.float32), pre_im=pre.imag.astype(np.float32),
+        mask=mask, service=service, tail=tail_bits, tx_perm=g,
+        punct_idx=punct_idx, pilots=pilots,
+        csd_re=csd.real.astype(np.float32), csd_im=csd.imag.astype(np.float32),
+        qam_re=qtab.real.astype(np.float32), qam_im=qtab.imag.astype(np.float32),
+        scale=np.float32(scale), n_total=n_total,
+    )
+
+
+def _bcc_encode_batch(bits: jax.Array) -> jax.Array:
+    """(B, n) -> (B, 2n) rate-1/2 coded, via XOR of tap-shifted slices."""
+    B, n = bits.shape
+    h = jnp.concatenate([jnp.zeros((B, 6), bits.dtype), bits], axis=1)
+    def tap(k):  # b_{t-k}
+        return h[:, 6 - k: 6 - k + n]
+    a = tap(0) ^ tap(2) ^ tap(3) ^ tap(5) ^ tap(6)
+    c = tap(0) ^ tap(1) ^ tap(2) ^ tap(3) ^ tap(6)
+    out = jnp.stack([a, c], axis=-1).reshape(B, 2 * n)
+    return out
+
+
+def _scramble_batch(bits: jax.Array, seeds: jax.Array) -> jax.Array:
+    """XOR with the 127-periodic sequence starting at each packet's seed."""
+    seq127, off_tab = OF._descramble_tables()
+    # seed -> its first-7-output word -> cyclic offset
+    word = np.zeros(128, np.int32)
+    for sd in range(1, 128):
+        w7 = T.scramble_seq(sd)[:7]
+        word[sd] = int(sum(int(b) << i for i, b in enumerate(w7)))
+    off = jnp.asarray(off_tab)[jnp.asarray(word)[seeds]]
+    n = bits.shape[1]
+    idx = (off[:, None] + np.arange(n)[None, :]) % 127
+    return bits ^ jnp.asarray(seq127)[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "group_id", "partial_aid"))
+def tx_batch(cfg: PhyConfig, payload: jax.Array, seeds: jax.Array,
+             group_id: int = 0, partial_aid: int = 0) -> CF:
+    """(B, psdu-ish bytes) uint8 + (B,) seeds -> (B, nss, n_samples) CF.
+
+    ``payload`` carries cfg.length bytes per packet (the A-MPDU for VHT).
+    """
+    st = _static_parts(cfg, group_id, partial_aid)
+    B = payload.shape[0]
+    pbits = ((payload[:, :, None] >> np.arange(8)[None, None, :]) & 1
+             ).reshape(B, -1).astype(jnp.uint8)
+    data_bits = jnp.concatenate(
+        [jnp.tile(jnp.asarray(st["service"]), (B, 1)), pbits,
+         jnp.tile(jnp.asarray(st["tail"]), (B, 1))], axis=1).astype(jnp.uint8)
+    scrambled = _scramble_batch(data_bits, seeds)
+    if cfg.fmt == Fmt.VHT:
+        enc_in = jnp.concatenate(
+            [scrambled[:, : cfg.n_trellis - 6],
+             jnp.zeros((B, 6), jnp.uint8)], axis=1)
+    else:
+        enc_in = scrambled.at[:, 16 + 8 * cfg.psdu_len:
+                              16 + 8 * cfg.psdu_len + 6 * cfg.nes].set(0)
+    coded = _bcc_encode_batch(enc_in)[:, st["punct_idx"]]
+    inter = coded[:, st["tx_perm"]]            # (B, nss*nsym*ncbpss) flat
+    chips = inter.reshape(B, cfg.nss, cfg.nsym, cfg.nsd, cfg.nbpscs)
+    chips = jnp.sum(chips.astype(jnp.int32) * (1 << np.arange(cfg.nbpscs)),
+                    axis=-1)
+    sym = CF(jnp.asarray(st["qam_re"])[chips], jnp.asarray(st["qam_im"])[chips])
+
+    grids = CF(jnp.zeros((B, cfg.nss, cfg.nsym, 64)),
+               jnp.zeros((B, cfg.nss, cfg.nsym, 64)))
+    didx = T.DATA_IDX_L if cfg.fmt == Fmt.L else T.DATA_IDX_NL
+    grids = CF(grids.re.at[:, :, :, didx].set(sym.re),
+               grids.im.at[:, :, :, didx].set(sym.im))
+    pil = st["pilots"].transpose(1, 0, 2)      # (nss, nsym, 4)
+    grids = CF(grids.re.at[:, :, :, T.PILOT_IDX].set(pil[None]),
+               grids.im)
+    csd = CF(jnp.asarray(st["csd_re"])[None, :, None, :],
+             jnp.asarray(st["csd_im"])[None, :, None, :])
+    grids = grids * csd
+    xt = idft64(grids) * st["scale"]           # (B, nss, nsym, 64)
+    gi = xt[:, :, :, 48:]
+    syms80 = CF(jnp.concatenate([gi.re, xt.re], axis=-1),
+                jnp.concatenate([gi.im, xt.im], axis=-1))
+    data_time = syms80.reshape(B, cfg.nss, cfg.nsym * 80)
+    pre = CF(jnp.tile(jnp.asarray(st["pre_re"])[None], (B, 1, 1)),
+             jnp.tile(jnp.asarray(st["pre_im"])[None], (B, 1, 1)))
+    wave = CF(jnp.concatenate([pre.re, data_time.re], axis=-1),
+              jnp.concatenate([pre.im, data_time.im], axis=-1))
+    return wave * jnp.asarray(st["mask"])
+
+
+class TxEngine:
+    """Host-facing batched transmitter."""
+
+    def tx(self, cfg: PhyConfig, payloads: list[bytes], seeds=None,
+           group_id: int = 0, partial_aid: int = 0) -> np.ndarray:
+        """Batch of equal-config payloads -> (B, nss, n_samples) complex64."""
+        B = len(payloads)
+        arr = np.zeros((B, cfg.length), np.uint8)
+        for i, p in enumerate(payloads):
+            assert len(p) == cfg.length
+            arr[i] = np.frombuffer(p, np.uint8)
+        if seeds is None:
+            seeds = np.full(B, 93, np.int32)
+        cf = tx_batch(cfg, jnp.asarray(arr), jnp.asarray(np.asarray(seeds, np.int32)),
+                      group_id, partial_aid)
+        return np.asarray(cf.re) + 1j * np.asarray(cf.im)

@@ -1,8 +1,9 @@
 """Batched RX front end: STF/LTF correlators, trigger metrics, CFO.
 
-The streaming detectors are expressed as cumulative-sum moving windows over
-the whole sample stream (one fused pass on device); per-packet sync/CFO
-refinement operates on gathered (B, n) windows.
+Everything operates on :class:`~gr_ieee80211_tpu.ops.cplx.CF` float-pair
+arrays (the TPU backend has no complex dtype).  The streaming detectors are
+cumulative-sum moving windows over the whole sample stream (one fused pass);
+per-packet sync/CFO refinement operates on gathered (B, n) windows.
 """
 from __future__ import annotations
 
@@ -12,42 +13,55 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .cplx import CF, expj
+
 FS = 20e6
 
 
+_MOVSUM_BLK = 1 << 15
+
+
 def _movsum(x: jax.Array, w: int) -> jax.Array:
-    c = jnp.cumsum(x, axis=-1)
-    zero = jnp.zeros_like(c[..., :1])
+    """Moving window sum, aligned so out[n] = sum x[n:n+w] (w <= 64).
+
+    A single cumsum-difference drifts in float32 over multi-megasample
+    streams (observed as missed triggers beyond ~5M samples on TPU), so the
+    stream is cut into 32k blocks with w-sample overlap and the cumsum is
+    reset per block, bounding the accumulated error.
+    """
+    n_out = x.shape[-1] - w + 1
+    if x.ndim > 1 or x.shape[-1] <= _MOVSUM_BLK:
+        c = jnp.cumsum(x, axis=-1)
+        zero = jnp.zeros_like(c[..., :1])
+        c = jnp.concatenate([zero, c], axis=-1)
+        return c[..., w:] - c[..., :-w]
+    K = _MOVSUM_BLK
+    nblk = -(-n_out // K)
+    pad = nblk * K + w - 1 - x.shape[-1]
+    xp = jnp.pad(x, (0, pad))
+    idx = (np.arange(nblk)[:, None] * K + np.arange(K + w - 1)[None, :])
+    blocks = xp[idx.reshape(-1)].reshape(nblk, K + w - 1)
+    c = jnp.cumsum(blocks, axis=-1)
+    zero = jnp.zeros_like(c[:, :1])
     c = jnp.concatenate([zero, c], axis=-1)
-    return c[..., w:] - c[..., :-w]
+    out = (c[:, w:] - c[:, :-w]).reshape(-1)
+    return out[:n_out]
+
+
+def _movsum_cf(x: CF, w: int) -> CF:
+    return CF(_movsum(x.re, w), _movsum(x.im, w))
 
 
 @jax.jit
-def stf_metrics(x: jax.Array):
-    """x (n,) complex -> (metric m, lag-16 autocorr c), aligned to x[0]."""
-    prod = x[:-16] * jnp.conj(x[16:])
-    c = _movsum(prod, 48)
-    p = _movsum(jnp.abs(x) ** 2, 64)
+def stf_metrics(x: CF):
+    """x (n,) -> (metric m, lag-16 autocorr CF), aligned to x[0]."""
+    prod = x[: x.shape[-1] - 16].mul_conj(x[16:])
+    c = _movsum_cf(prod, 48)
+    p = _movsum(x.abs2(), 64)
     n = min(c.shape[-1], p.shape[-1])
-    m = jnp.abs(c[..., :n]) / jnp.maximum(p[..., :n], 1e-12)
-    return m, c[..., :n]
-
-
-@jax.jit
-def ltf_corr_metric(x: jax.Array) -> jax.Array:
-    """Normalized lag-64 autocorrelation over a 64-window (LTF detector)."""
-    prod = x[:-64] * jnp.conj(x[64:])
-    a = _movsum(prod, 64)
-    pw = _movsum(jnp.abs(x) ** 2, 64)
-    n = a.shape[-1]
-    den = jnp.sqrt(jnp.maximum(pw[..., :n] * pw[..., 64: 64 + n], 1e-24))
-    return jnp.abs(a) / den
-
-
-def find_triggers_host(m: np.ndarray, thresh: float = 0.3, run: int = 20) -> list[int]:
-    """Plateau starts (host-side, on the downloaded metric)."""
-    from ..gold.rx import find_triggers
-    return find_triggers(m, thresh, run)
+    c = c[..., :n]
+    m = c.abs() / jnp.maximum(p[..., :n], 1e-12)
+    return m, c
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "run"))
@@ -66,15 +80,16 @@ def detect_plateaus(m: jax.Array, thresh: float = 0.3, run: int = 20,
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def gather_windows(x: jax.Array, starts: jax.Array, n: int) -> jax.Array:
+def gather_windows(x: CF, starts: jax.Array, n: int) -> CF:
     """x (N,) + starts (B,) -> (B, n) windows via batched dynamic slicing."""
     def one(s):
-        return jax.lax.dynamic_slice(x, (s,), (n,))
+        return CF(jax.lax.dynamic_slice(x.re, (s,), (n,)),
+                  jax.lax.dynamic_slice(x.im, (s,), (n,)))
     return jax.vmap(one)(starts)
 
 
 @jax.jit
-def ltf_fine_sync(wins: jax.Array):
+def ltf_fine_sync(wins: CF):
     """Per-packet L-LTF timing on (B, 368) windows starting at trigger+80.
 
     Returns (offsets (B,), peak (B,)): offset of the chosen ltf_idx within
@@ -82,15 +97,13 @@ def ltf_fine_sync(wins: jax.Array):
     """
     B, n = wins.shape
     npts = n - 128
-    # sliding correlation via cumsum
-    prod = wins[:, :-64] * jnp.conj(wins[:, 64:])
-    a = _movsum(prod, 64)[:, :npts]
-    pw = _movsum(jnp.abs(wins) ** 2, 64)
+    prod = wins[:, : n - 64].mul_conj(wins[:, 64:])
+    a = _movsum_cf(prod, 64)[:, :npts]
+    pw = _movsum(wins.abs2(), 64)
     den = jnp.sqrt(jnp.maximum(pw[:, :npts] * pw[:, 64: 64 + npts], 1e-24))
-    ac = jnp.abs(a) / den
+    ac = a.abs() / den
     k = jnp.argmax(ac, axis=1)
     peak = jnp.take_along_axis(ac, k[:, None], axis=1)[:, 0]
-    # 80% shoulders within +-32
     idx = np.arange(npts)
     tgt = 0.8 * peak[:, None]
     d = jnp.abs(ac - tgt)
@@ -104,25 +117,27 @@ def ltf_fine_sync(wins: jax.Array):
 
 
 @jax.jit
-def coarse_cfo_batch(stf_wins: jax.Array) -> jax.Array:
+def coarse_cfo_batch(stf_wins: CF) -> jax.Array:
     """(B, >=80) windows at the trigger -> CFO Hz from lag-16 autocorr."""
-    prod = jnp.mean(stf_wins[:, :64] * jnp.conj(stf_wins[:, 16:80]), axis=1)
-    return -jnp.angle(prod) / 16 / (2 * np.pi) * FS
+    prod = stf_wins[:, :64].mul_conj(stf_wins[:, 16:80])
+    s = CF(jnp.mean(prod.re, axis=1), jnp.mean(prod.im, axis=1))
+    return -s.angle() / 16 / (2 * np.pi) * FS
 
 
 @jax.jit
-def fine_cfo_batch(ltf_wins: jax.Array, cfo0: jax.Array) -> jax.Array:
+def fine_cfo_batch(ltf_wins: CF, cfo0: jax.Array) -> jax.Array:
     """(B, 128) LTF windows + coarse CFO -> refined CFO Hz."""
     n = np.arange(128)
-    rot = jnp.exp(-1j * 2 * np.pi * cfo0[:, None] / FS * n[None, :])
+    rot = expj(-2 * np.pi * cfo0[:, None] / FS * n[None, :])
     w = ltf_wins * rot
-    prod = jnp.mean(w[:, :64] * jnp.conj(w[:, 64:128]), axis=1)
-    return cfo0 - jnp.angle(prod) / 64 / (2 * np.pi) * FS
+    prod = w[:, :64].mul_conj(w[:, 64:128])
+    s = CF(jnp.mean(prod.re, axis=1), jnp.mean(prod.im, axis=1))
+    return cfo0 - s.angle() / 64 / (2 * np.pi) * FS
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def derotate_batch(x: jax.Array, starts: jax.Array, cfo: jax.Array, n: int):
+def derotate_batch(x: CF, starts: jax.Array, cfo: jax.Array, n: int) -> CF:
     """Gather (B, n) windows at ``starts`` and derotate each by its CFO."""
     wins = gather_windows(x, starts, n)
     t = np.arange(n)
-    return wins * jnp.exp(-1j * 2 * np.pi * cfo[:, None] / FS * t[None, :])
+    return wins * expj(-2 * np.pi * cfo[:, None] / FS * t[None, :])

@@ -25,6 +25,7 @@ from jax.experimental.shard_map import shard_map
 from ..spec.params import PhyConfig, Fmt
 from ..spec import tables as T
 from ..ops import frontend as FE
+from ..ops.cplx import CF, expj, csum
 from ..ops import ofdm as OF
 from ..ops import viterbi as VXLA
 from ..ops import crc as CRC
@@ -59,12 +60,13 @@ def payload_decode_dp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0):
 
     n_samp = _data_start(cfg) + 80 * cfg.nsym
 
-    def local_decode(xs):
+    def local_decode(xs_re, xs_im):
         # xs: (b_local, n_samp), t=0 at the L-LTF window; fine CFO from the
         # LTF lag-64 autocorrelation, then the full demod+decode chain
+        xs = CF(xs_re, xs_im)
         cfo = FE.fine_cfo_batch(xs[:, :128], jnp.zeros(xs.shape[0]))
         t = np.arange(n_samp)
-        xs = xs * jnp.exp(-1j * 2 * np.pi * cfo[:, None] / FE.FS * t[None, :])
+        xs = xs * expj(-2 * np.pi * cfo[:, None] / FE.FS * t[None, :])
         if cfg.fmt == Fmt.L:
             h0 = OF.legacy_chanest(xs, 0)
             h = h0[:, None, None, :]
@@ -73,7 +75,7 @@ def payload_decode_dp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0):
             h, pilot_h = OF.nl_chanest(xs[:, None], 208 + 160 + 80,
                                        cfg.nltf, cfg.nss, nrx_axis=True)
             if cfg.fmt == Fmt.HT:
-                pilot_h = h[:, :, :, T.PILOT_IDX].sum(axis=2)
+                pilot_h = csum(h[:, :, :, T.PILOT_IDX], axis=2)
         grids = OF.fft_syms(
             OF.extract_sym_windows(xs, _data_start(cfg), cfg.nsym))[:, None]
         llr = OF.equalize_and_demap(grids, h, pilot_h, cfg, nrx_axis=True)
@@ -93,9 +95,13 @@ def payload_decode_dp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0):
         return psdu, ok, total
 
     fn = shard_map(local_decode, mesh=mesh,
-                   in_specs=(P("dp", None),),
+                   in_specs=(P("dp", None), P("dp", None)),
                    out_specs=(P("dp", None), P("dp"), P()))
-    return jax.jit(fn), n_samp
+
+    def wrapped(wins_cf: CF):
+        return fn(wins_cf.re, wins_cf.im)
+
+    return jax.jit(wrapped), n_samp
 
 
 # ---------------------------------------------------------------------------
@@ -115,19 +121,28 @@ def frontend_sp(mesh: Mesh, max_out_per_shard: int = 512):
     """
     sp = mesh.axis_names[-1]
 
-    def local_fe(block):
-        blk = block.reshape(-1)
+    def local_fe(block_re, block_im):
+        blk = CF(block_re.reshape(-1), block_im.reshape(-1))
         n_local = blk.shape[0]
-        head = jax.lax.dynamic_slice(blk, (0,), (HALO,))
         n_dev = jax.lax.axis_size(sp)
         left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        halo = jax.lax.ppermute(head, sp, perm=left)  # my right neighbor's head
-        ext = jnp.concatenate([blk, halo])
+        halo = CF(
+            jax.lax.ppermute(jax.lax.dynamic_slice(blk.re, (0,), (HALO,)),
+                             sp, perm=left),
+            jax.lax.ppermute(jax.lax.dynamic_slice(blk.im, (0,), (HALO,)),
+                             sp, perm=left))         # my right neighbor's head
+        ext = CF(jnp.concatenate([blk.re, halo.re]),
+                 jnp.concatenate([blk.im, halo.im]))
         m, _ = FE.stf_metrics(ext)
         cand = FE.detect_plateaus(m, max_out=max_out_per_shard)
         cand = jnp.where((cand >= 0) & (cand < n_local),
                          cand + jax.lax.axis_index(sp) * n_local, -1)
         return cand[None]
 
-    fn = shard_map(local_fe, mesh=mesh, in_specs=(P(sp),), out_specs=P(sp))
-    return jax.jit(fn)
+    fn = shard_map(local_fe, mesh=mesh, in_specs=(P(sp), P(sp)),
+                   out_specs=P(sp))
+
+    def wrapped(stream_cf: CF):
+        return fn(stream_cf.re, stream_cf.im)
+
+    return jax.jit(wrapped)

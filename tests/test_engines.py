@@ -1,0 +1,88 @@
+"""Jitted TX/RX engine parity vs the gold model (CPU backend)."""
+import numpy as np
+import pytest
+
+from gr_ieee80211_tpu.spec.params import PhyConfig, Fmt
+from gr_ieee80211_tpu.gold import tx as gtx, mac, channel
+from gr_ieee80211_tpu.models.tx import TxEngine
+from gr_ieee80211_tpu.models.rx import RxEngine, dedup_triggers
+
+
+CONFIGS = [(Fmt.L, 0, 1), (Fmt.L, 7, 1), (Fmt.HT, 4, 1), (Fmt.HT, 12, 2),
+           (Fmt.VHT, 8, 1), (Fmt.VHT, 5, 2)]
+
+
+def _mk(rng, fmt, mcs, nss, n=120):
+    mpdu = mac.qos_data_frame(bytes(rng.integers(0, 256, n, dtype=np.uint8)),
+                              "02:00:00:00:00:01", "02:00:00:00:00:02",
+                              "02:00:00:00:00:01", 1)
+    if fmt == Fmt.VHT:
+        payload = mac.ampdu_aggregate_vht([mpdu])
+        return mpdu, payload, PhyConfig(fmt, mcs, nss, len(payload), ampdu=True)
+    return mpdu, mpdu, PhyConfig(fmt, mcs, nss, len(mpdu))
+
+
+@pytest.mark.parametrize("fmt,mcs,nss", CONFIGS)
+def test_tx_engine_matches_gold(fmt, mcs, nss):
+    rng = np.random.default_rng(17)
+    _, payload, cfg = _mk(rng, fmt, mcs, nss)
+    batch = TxEngine().tx(cfg, [payload] * 3)
+    gold = gtx.tx_waveform(cfg, payload, **(
+        dict(group_id=0, partial_aid=0) if fmt == Fmt.VHT else {}))
+    assert batch.shape == (3,) + gold.shape
+    assert np.abs(batch - gold).max() < 2e-6
+
+
+@pytest.mark.parametrize("fmt,mcs,nss", CONFIGS)
+def test_rx_engine_loopback(fmt, mcs, nss):
+    rng = np.random.default_rng(23 + mcs)
+    mpdu, payload, cfg = _mk(rng, fmt, mcs, nss)
+    wave = gtx.tx_waveform(cfg, payload, **(
+        dict(group_id=0, partial_aid=0) if fmt == Fmt.VHT else {}))
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    h = None
+    if nss == 2:
+        h = np.eye(2) + 0.3 * (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2)))
+    stream = channel.frame_stream(wave, 1.0, 650.0, num=3, gap=1100)
+    if h is not None:
+        stream = channel.mimo_channel(stream, h)
+    stream = channel.awgn(stream, rms / 10 ** (35 / 20), rng)
+    eng = RxEngine(nrx=stream.shape[0])
+    res = eng.process(stream)
+    good = [r for r in res if r.ok and r.mpdus and r.mpdus[0] == mpdu]
+    assert len(good) == 3
+    assert all(r.fmt == fmt and r.mcs == mcs for r in good)
+
+
+def test_rx_engine_mixed_formats_one_stream():
+    rng = np.random.default_rng(31)
+    parts = []
+    sent = []
+    for fmt, mcs, nss in [(Fmt.L, 3, 1), (Fmt.VHT, 4, 1), (Fmt.HT, 6, 1)]:
+        mpdu, payload, cfg = _mk(rng, fmt, mcs, nss, n=90)
+        wave = gtx.tx_waveform(cfg, payload, **(
+            dict(group_id=0, partial_aid=0) if fmt == Fmt.VHT else {}))
+        parts.append(channel.frame_stream(wave, 1.0, 300.0, gap=900)[0])
+        sent.append((fmt, mcs, mpdu))
+    stream = np.concatenate(parts)
+    rms = np.sqrt(np.mean(np.abs(stream[np.abs(stream) > 0]) ** 2))
+    stream = channel.awgn(stream[None], rms / 10 ** (35 / 20), rng)
+    res = RxEngine(nrx=1).process(stream)
+    got = [(r.fmt, r.mcs, r.mpdus[0]) for r in res if r.ok and r.mpdus]
+    assert got == sent
+
+
+def test_dedup_triggers():
+    c = np.array([100, 160, 660, 3000, 3560, 9000])
+    assert dedup_triggers(c).tolist() == [100, 3000, 9000]
+    assert dedup_triggers(np.array([], dtype=np.int64)).tolist() == []
+
+
+def test_tx_engine_random_seeds_decode():
+    rng = np.random.default_rng(41)
+    mpdu, payload, cfg = _mk(rng, Fmt.VHT, 3, 1)
+    seeds = [11, 93, 127]
+    batch = TxEngine().tx(cfg, [payload] * 3, seeds=seeds)
+    stream = channel.frame_stream(batch[1], 1.0, 0.0, gap=1000)
+    res = RxEngine(nrx=1).process(stream)
+    assert res and res[0].ok and res[0].mpdus[0] == mpdu
