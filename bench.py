@@ -28,6 +28,8 @@ def log(*a):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
     from gr_ieee80211_tpu.spec.params import PhyConfig, Fmt
     from gr_ieee80211_tpu.gold import tx, mac, channel
@@ -60,10 +62,14 @@ def main():
     from gr_ieee80211_tpu.ops.cplx import from_host
     dev = from_host(stream[None])
 
+    from gr_ieee80211_tpu.runtime import native as NAT
+    use_native = NAT.available()
+    log(f"native host detector: {use_native}")
+
     @jax.jit
     def detect(dev):
-        m, _ = FE.stf_metrics(dev[0])
-        return FE.detect_plateaus(m, max_out=3 * B)
+        m4 = FE.stf_metric_strided(dev[0])
+        return FE.detect_plateaus_strided(m4, max_out=3 * B)
 
     @jax.jit
     def decode(dev, trigs):
@@ -73,10 +79,14 @@ def main():
         return out["mpdu_fcs_ok"]
 
     def full_chain(dev):
-        # two device stages; only (3B,) candidate indices visit the host for
-        # the cluster dedup (the STF re-fires at the packet's VHT-STF)
-        cand = np.asarray(detect(dev))
-        trigs = RXM.dedup_triggers(cand[cand >= 0])[:B]
+        # host C++ pre-detector (overlappable with device compute in a
+        # pipeline; the sp-sharded device detector covers scale-out), then
+        # two device stages: sync/CFO and bucketed payload decode
+        if use_native:
+            trigs = NAT.stf_detect(stream, max_out=3 * B)[:B]
+        else:
+            cand = np.asarray(detect(dev))
+            trigs = RXM.dedup_triggers(cand[cand >= 0])[:B]
         pad = np.zeros(B, np.int32)
         pad[: len(trigs)] = trigs
         return decode(dev, jnp.asarray(pad)), len(trigs)

@@ -172,8 +172,8 @@ class RxEngine:
     # -- detection ---------------------------------------------------------
     def detect(self, stream0: jax.Array, max_out: int = 4096) -> np.ndarray:
         """Candidate trigger indices; only (max_out,) ints leave the device."""
-        m, _ = FE.stf_metrics(stream0)
-        cand = np.asarray(FE.detect_plateaus(m, max_out=max_out))
+        m4 = FE.stf_metric_strided(stream0)
+        cand = np.asarray(FE.detect_plateaus_strided(m4, max_out=max_out))
         cand = cand[cand >= 0]
         return dedup_triggers(cand)
 

@@ -64,6 +64,60 @@ def stf_metrics(x: CF):
     return m, c
 
 
+#: detection decimation: the STF plateau spans ~100 samples, so evaluating
+#: the metric every DETECT_STRIDE samples keeps detection intact while
+#: cutting the streaming prefix-sum work 4x; sync refines timing anyway.
+DETECT_STRIDE = 4
+
+
+#: row length for the 2-D detection layout: megasample 1-D streaming programs
+#: compile/run poorly on the TPU backend, so the stream is viewed as
+#: (n_rows, ROW+overlap) with windows never crossing a row's private span.
+DETECT_ROW = 8192
+_DET_OV = 96  # lag 16 + 48-corr window + chunk alignment lookahead
+
+
+def _chunk4_rows(x: jax.Array) -> jax.Array:
+    r, n = x.shape
+    n4 = n // DETECT_STRIDE
+    return x[:, : n4 * DETECT_STRIDE].reshape(r, n4, DETECT_STRIDE).sum(axis=-1)
+
+
+@jax.jit
+def stf_metric_strided(x: CF) -> jax.Array:
+    """Plateau metric at DETECT_STRIDE positions: m4[k] ~= m[4k], flat (n//4,).
+
+    Internally row-blocked: each row computes its ROW-sample span from
+    ROW+_DET_OV samples, so all moving sums are short-axis 2-D ops.
+    """
+    s = DETECT_STRIDE
+    n = x.shape[-1]
+    n_rows = -(-n // DETECT_ROW)
+    pad = n_rows * DETECT_ROW + _DET_OV - n
+    xr = CF(jnp.pad(x.re, (0, pad)), jnp.pad(x.im, (0, pad)))
+    idx = (np.arange(n_rows)[:, None] * DETECT_ROW
+           + np.arange(DETECT_ROW + _DET_OV)[None, :]).reshape(-1)
+    rows = CF(xr.re[idx].reshape(n_rows, -1), xr.im[idx].reshape(n_rows, -1))
+    prod = rows[:, : rows.shape[-1] - 16].mul_conj(rows[:, 16:])
+    cre = _movsum(_chunk4_rows(prod.re), 48 // s)
+    cim = _movsum(_chunk4_rows(prod.im), 48 // s)
+    p = _movsum(_chunk4_rows(rows.abs2()), 64 // s)
+    k = DETECT_ROW // s
+    m = (jnp.sqrt(cre[:, :k] ** 2 + cim[:, :k] ** 2)
+         / jnp.maximum(p[:, :k], 1e-12))
+    return m.reshape(-1)[: n // s]
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def detect_plateaus_strided(m4: jax.Array, thresh: float = 0.3,
+                            max_out: int = 4096) -> jax.Array:
+    """Candidate trigger sample indices from the strided metric (padded -1).
+
+    run = 5 strided points ~ the reference's 20-sample plateau rule."""
+    idx = detect_plateaus(m4, thresh=thresh, run=5, max_out=max_out)
+    return jnp.where(idx >= 0, idx * DETECT_STRIDE, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_out", "run"))
 def detect_plateaus(m: jax.Array, thresh: float = 0.3, run: int = 20,
                     max_out: int = 4096) -> jax.Array:
