@@ -15,6 +15,12 @@ if not os.environ.get("RUN_ON_TPU"):
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # sitecustomize.py may have imported jax already (registering the TPU
+    # backend at interpreter start), in which case jax_platforms latched
+    # "axon" from the env before we overrode it — force it back to cpu.
+    if "jax" in sys.modules:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
