@@ -158,21 +158,27 @@ def _idft64_mats():
     return (np.cos(ang) / 64).astype(np.float32), (np.sin(ang) / 64).astype(np.float32)
 
 
+# TPU MXU f32 matmuls default to a single bf16 pass (~3e-3 rel err), which
+# flips QAM decisions near boundaries and costs ~1.5% FCS failures at MCS7.
+# The (I)DFT is a tiny fraction of chain FLOPs, so force full f32 here.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def dft64(x: CF) -> CF:
     """(..., 64) time windows -> fftshifted grids via MXU matmuls."""
     C, S = _dft64_mats()
-    re = jnp.dot(x.re, C, preferred_element_type=jnp.float32) \
-        - jnp.dot(x.im, S, preferred_element_type=jnp.float32)
-    im = jnp.dot(x.re, S, preferred_element_type=jnp.float32) \
-        + jnp.dot(x.im, C, preferred_element_type=jnp.float32)
+    re = jnp.dot(x.re, C, precision=_PREC, preferred_element_type=jnp.float32) \
+        - jnp.dot(x.im, S, precision=_PREC, preferred_element_type=jnp.float32)
+    im = jnp.dot(x.re, S, precision=_PREC, preferred_element_type=jnp.float32) \
+        + jnp.dot(x.im, C, precision=_PREC, preferred_element_type=jnp.float32)
     return CF(re, im)
 
 
 def idft64(g: CF) -> CF:
     """(..., 64) fftshifted grids -> time samples (1/64 normalized)."""
     C, S = _idft64_mats()
-    re = jnp.dot(g.re, C, preferred_element_type=jnp.float32) \
-        - jnp.dot(g.im, S, preferred_element_type=jnp.float32)
-    im = jnp.dot(g.re, S, preferred_element_type=jnp.float32) \
-        + jnp.dot(g.im, C, preferred_element_type=jnp.float32)
+    re = jnp.dot(g.re, C, precision=_PREC, preferred_element_type=jnp.float32) \
+        - jnp.dot(g.im, S, precision=_PREC, preferred_element_type=jnp.float32)
+    im = jnp.dot(g.re, S, precision=_PREC, preferred_element_type=jnp.float32) \
+        + jnp.dot(g.im, C, precision=_PREC, preferred_element_type=jnp.float32)
     return CF(re, im)

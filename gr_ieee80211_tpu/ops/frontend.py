@@ -166,7 +166,13 @@ def ltf_fine_sync(wins: CF):
     big = jnp.full_like(d, 1e9)
     lo = jnp.argmin(jnp.where(in_l, d, big), axis=1)
     hi = jnp.argmin(jnp.where(in_r, d, big), axis=1)
-    mid = (lo + hi) // 2 + 10
+    # Aim the sampling point EARLY into the GI (reference C8P_SYM_SAMP_SHIFT=8,
+    # lib/cloud80211phy.h:33): the TX blends the edge samples of every symbol
+    # (PY-TB procConcat2Symbol), so an FFT window that starts exactly at
+    # GI+16 picks up a blended boundary sample (0.09 EVM noiseless).  The
+    # shoulder midpoint jitters about +-6 around (true - 4), so a +8 bias
+    # keeps the earliness within the safe [2, 14] span (GI is 16).
+    mid = (lo + hi) // 2 + 8
     return mid.astype(jnp.int32), peak
 
 
