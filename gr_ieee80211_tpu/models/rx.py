@@ -158,6 +158,34 @@ def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     return out
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "nrx", "mpdu_len", "max_pkts"))
+def rx_chain_count(cfg: PhyConfig, stream: CF, nrx: int = 1,
+                   mpdu_len: int = 0, max_pkts: int = 4096):
+    """Single-dispatch known-config chain: detect -> dedup -> sync -> decode.
+
+    Fuses the entire RX into ONE device program returning two scalars
+    (n_fcs_ok, n_detected): on the tunneled TPU backend every separate
+    dispatch+readback costs a ~26 ms round trip, so the bench/PER harness
+    hot loop must cross the host boundary exactly once per batch.
+    """
+    m4 = FE.stf_metric_strided(stream[0])
+    cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts)
+    trigs = FE.dedup_triggers_device(cand, max_pkts,
+                                     spacing=TRIG_DEDUP_SPACING)
+    valid = trigs >= 0
+    trigs = jnp.maximum(trigs, 0)
+    ltf_idx, peak, cfo = _sync_core(stream[0], trigs)
+    n_need = _data_start(cfg) + 80 * cfg.nsym
+    valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
+    ltf_idx = jnp.clip(ltf_idx, 0, stream.shape[-1] - n_need - 1)
+    out = _payload_core(cfg, stream[:nrx], ltf_idx, cfo, nrx=nrx,
+                        mpdu_len=mpdu_len)
+    ok = out.get("mpdu_fcs_ok", out.get("fcs_ok"))
+    return jnp.sum((ok & valid).astype(jnp.int32)), \
+        jnp.sum(valid.astype(jnp.int32))
+
+
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------

@@ -37,10 +37,11 @@ def _movsum(x: jax.Array, w: int) -> jax.Array:
         return c[..., w:] - c[..., :-w]
     K = _MOVSUM_BLK
     nblk = -(-n_out // K)
-    pad = nblk * K + w - 1 - x.shape[-1]
+    pad = (nblk + 1) * K - x.shape[-1]
     xp = jnp.pad(x, (0, pad))
-    idx = (np.arange(nblk)[:, None] * K + np.arange(K + w - 1)[None, :])
-    blocks = xp[idx.reshape(-1)].reshape(nblk, K + w - 1)
+    main = xp[: nblk * K].reshape(nblk, K)
+    ov = xp[K:].reshape(nblk, K)[:, : w - 1]
+    blocks = jnp.concatenate([main, ov], axis=1)
     c = jnp.cumsum(blocks, axis=-1)
     zero = jnp.zeros_like(c[:, :1])
     c = jnp.concatenate([zero, c], axis=-1)
@@ -93,11 +94,18 @@ def stf_metric_strided(x: CF) -> jax.Array:
     s = DETECT_STRIDE
     n = x.shape[-1]
     n_rows = -(-n // DETECT_ROW)
-    pad = n_rows * DETECT_ROW + _DET_OV - n
-    xr = CF(jnp.pad(x.re, (0, pad)), jnp.pad(x.im, (0, pad)))
-    idx = (np.arange(n_rows)[:, None] * DETECT_ROW
-           + np.arange(DETECT_ROW + _DET_OV)[None, :]).reshape(-1)
-    rows = CF(xr.re[idx].reshape(n_rows, -1), xr.im[idx].reshape(n_rows, -1))
+    # rows[i] = xp[i*ROW : i*ROW + ROW + OV], built gather-free from two
+    # reshapes (a flat (n_rows*(ROW+OV),) gather costs ~190 ms on TPU):
+    # the main (n_rows, ROW) view plus the ROW-shifted view's first OV cols.
+    pad = (n_rows + 1) * DETECT_ROW - n
+
+    def mk(v):
+        vp = jnp.pad(v, (0, pad))
+        main = vp[: n_rows * DETECT_ROW].reshape(n_rows, DETECT_ROW)
+        ov = vp[DETECT_ROW:].reshape(n_rows, DETECT_ROW)[:, :_DET_OV]
+        return jnp.concatenate([main, ov], axis=1)
+
+    rows = CF(mk(x.re), mk(x.im))
     prod = rows[:, : rows.shape[-1] - 16].mul_conj(rows[:, 16:])
     cre = _movsum(_chunk4_rows(prod.re), 48 // s)
     cim = _movsum(_chunk4_rows(prod.im), 48 // s)
@@ -131,6 +139,20 @@ def detect_plateaus(m: jax.Array, thresh: float = 0.3, run: int = 20,
     start = run_ok & (prev[:nr] == 0) & (above[:nr] > 0)
     idx = jnp.nonzero(start, size=max_out, fill_value=-1)[0]
     return idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "spacing"))
+def dedup_triggers_device(cand: jax.Array, max_out: int,
+                          spacing: int = 700) -> jax.Array:
+    """Device-side cluster dedup of ascending -1-padded candidate indices.
+
+    Keeps the first candidate of each >spacing-gap cluster (the device twin
+    of models.rx.dedup_triggers) so a fused detect->sync->decode program
+    never has to surface candidates to the host."""
+    prev = jnp.concatenate([jnp.full((1,), -(1 << 30), cand.dtype), cand[:-1]])
+    keep = (cand >= 0) & (cand - prev > spacing)
+    pos = jnp.nonzero(keep, size=max_out, fill_value=-1)[0]
+    return jnp.where(pos >= 0, cand[jnp.maximum(pos, 0)], -1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

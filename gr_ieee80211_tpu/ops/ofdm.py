@@ -205,15 +205,26 @@ def _descramble_tables():
     return seq127, off
 
 
+@functools.lru_cache(maxsize=None)
+def _descramble_matrix(n: int) -> np.ndarray:
+    """(127, n) float32: row o = the 127-periodic scramble sequence shifted
+    by offset o.  Selecting a packet's row via a one-hot MXU matmul replaces
+    a (B, n) dynamic gather, which is pathologically slow on TPU."""
+    seq127, _ = _descramble_tables()
+    idx = (np.arange(127)[:, None] + np.arange(n)[None, :]) % 127
+    return seq127[idx].astype(np.float32)
+
+
 def descramble_bits(bits: jax.Array) -> jax.Array:
     """(B, n) scrambled bits -> descrambled (first 7 bits zeroed)."""
-    seq127, off_tab = _descramble_tables()
+    _, off_tab = _descramble_tables()
     B, n = bits.shape
     w = jnp.sum(bits[:, :7].astype(jnp.int32) * (1 << np.arange(7)), axis=1)
     off = jnp.asarray(off_tab)[w]                           # (B,)
-    idx = (off[:, None] + np.arange(n)[None, :]) % 127
-    seq = jnp.asarray(seq127)[idx]
-    out = bits ^ seq
+    onehot = (off[:, None] == np.arange(127)[None, :]).astype(jnp.float32)
+    seq = jnp.dot(onehot, _descramble_matrix(n),
+                  preferred_element_type=jnp.float32)       # exact 0/1
+    out = bits ^ seq.astype(bits.dtype)
     return out.at[:, :7].set(0)
 
 

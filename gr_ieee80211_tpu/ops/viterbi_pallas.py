@@ -32,7 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..spec import tables as T
 
 NEG = -1e9
-B_TILE = 128
+#: lane-tile width: 512 packets/tile amortizes the VPU issue overhead of the
+#: sequential trellis loop (each op works (32, 512) instead of (32, 128));
+#: VMEM/block = 4 MB decisions + 0.5 MB LLR + 128 KB metrics, double-buffered
+#: well under the 16 MB budget.
+B_TILE = 512
 T_CHUNK = 128
 
 
@@ -57,7 +61,7 @@ def _branch_masks_in_kernel():
             for half, b_in in ((0, 0), (1, 1)) for parity in (0, 1)}
 
 
-def _acs_kernel(llr0_ref, llr1_ref, dec_ref, pm):
+def _acs_kernel(llr0_ref, llr1_ref, dec_lo_ref, dec_hi_ref, pm):
     tc = pl.program_id(1)
 
     @pl.when(tc == 0)
@@ -73,21 +77,19 @@ def _acs_kernel(llr0_ref, llr1_ref, dec_ref, pm):
 
     def step(t, carry):
         p = carry
-        l0 = llr0_ref[t, :][None, :]        # (1, 128)
+        l0 = llr0_ref[t, :][None, :]        # (1, B_TILE)
         l1 = llr1_ref[t, :][None, :]
         pr = p.reshape(32, 2, B_TILE)
-        ev = pr[:, 0, :]                    # (32, 128) even predecessors
+        ev = pr[:, 0, :]                    # (32, B_TILE) even predecessors
         od = pr[:, 1, :]
         cand_a_lo = ev + a00 * l0 + a10 * l1
         cand_b_lo = od + b00 * l0 + b10 * l1
         cand_a_hi = ev + a01 * l0 + a11 * l1
         cand_b_hi = od + b01 * l0 + b11 * l1
-        dec_lo = cand_b_lo > cand_a_lo
-        dec_hi = cand_b_hi > cand_a_hi
+        dec_lo_ref[t, :, :] = (cand_b_lo > cand_a_lo).astype(jnp.int8)
+        dec_hi_ref[t, :, :] = (cand_b_hi > cand_a_hi).astype(jnp.int8)
         new_lo = jnp.maximum(cand_a_lo, cand_b_lo)
         new_hi = jnp.maximum(cand_a_hi, cand_b_hi)
-        dec_ref[t, :, :] = jnp.concatenate(
-            [dec_lo, dec_hi], axis=0).astype(jnp.int8)
         return jnp.concatenate([new_lo, new_hi], axis=0)
 
     p = jax.lax.fori_loop(0, T_CHUNK, step, pm[:])
@@ -105,6 +107,8 @@ def acs_sweep(llr0: jax.Array, llr1: jax.Array, interpret: bool = False):
     n_steps, B = llr0.shape
     assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
     grid = (B // B_TILE, n_steps // T_CHUNK)
+    spec32 = pl.BlockSpec((T_CHUNK, 32, B_TILE), lambda bt, tc: (tc, 0, bt),
+                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _acs_kernel,
         grid=grid,
@@ -114,9 +118,9 @@ def acs_sweep(llr0: jax.Array, llr1: jax.Array, interpret: bool = False):
             pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T_CHUNK, 64, B_TILE), lambda bt, tc: (tc, 0, bt),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps, 64, B), jnp.int8),
+        out_specs=(spec32, spec32),
+        out_shape=(jax.ShapeDtypeStruct((n_steps, 32, B), jnp.int8),
+                   jax.ShapeDtypeStruct((n_steps, 32, B), jnp.int8)),
         scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
         interpret=interpret,
     )(llr0, llr1)
@@ -124,6 +128,58 @@ def acs_sweep(llr0: jax.Array, llr1: jax.Array, interpret: bool = False):
 
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _traceback_kernel(dec_lo_ref, dec_hi_ref, bits_ref, mask):
+    """Backward survivor walk, one T_CHUNK block per grid step.
+
+    The grid's T axis is index-mapped in REVERSE (last chunk first); the
+    survivor one-hot mask (64, B_TILE) persists in scratch across chunks.
+    Same gather-free formulation as the XLA ``_traceback``: fold the two
+    halves of the masked decision vector to the predecessor one-hot.
+    """
+    tc = pl.program_id(1)
+
+    @pl.when(tc == 0)
+    def _():
+        row = jax.lax.broadcasted_iota(jnp.int32, (64, B_TILE), 0)
+        mask[:] = (row == 0).astype(jnp.float32)
+
+    def step(i, m):
+        t = T_CHUNK - 1 - i
+        d_lo = dec_lo_ref[t, :, :].astype(jnp.float32)   # states 0..31
+        d_hi = dec_hi_ref[t, :, :].astype(jnp.float32)   # states 32..63
+        m_lo, m_hi = m[:32], m[32:]
+        bits_ref[t, :] = jnp.sum(m_hi, axis=0).astype(jnp.float32)
+        f0 = m_lo * (1.0 - d_lo) + m_hi * (1.0 - d_hi)
+        f1 = m_lo * d_lo + m_hi * d_hi
+        return jnp.stack([f0, f1], axis=1).reshape(64, B_TILE)
+
+    mask[:] = jax.lax.fori_loop(0, T_CHUNK, step, mask[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def traceback_sweep(dec_lo: jax.Array, dec_hi: jax.Array,
+                    interpret: bool = False):
+    """(T, 32, B) int8 decision halves -> (T, B) float32 bits (pre-trim)."""
+    n_steps, _, B = dec_lo.shape
+    assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
+    n_tc = n_steps // T_CHUNK
+    grid = (B // B_TILE, n_tc)
+    spec32 = pl.BlockSpec((T_CHUNK, 32, B_TILE),
+                          lambda bt, tc: (n_tc - 1 - tc, 0, bt),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _traceback_kernel,
+        grid=grid,
+        in_specs=[spec32, spec32],
+        out_specs=pl.BlockSpec((T_CHUNK, B_TILE),
+                               lambda bt, tc: (n_tc - 1 - tc, bt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
+        interpret=interpret,
+    )(dec_lo, dec_hi)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps_out",))
@@ -174,5 +230,7 @@ def viterbi_decode_pallas(llr_pairs: jax.Array) -> jax.Array:
     x = jnp.pad(llr_pairs, ((0, Bp - B), (0, Tp - n_steps), (0, 0)))
     llr0 = x[:, :, 0].transpose(1, 0)
     llr1 = x[:, :, 1].transpose(1, 0)
-    dec = acs_sweep(llr0, llr1, interpret=not _on_tpu())
-    return _traceback(dec, n_steps)[:B]
+    interp = not _on_tpu()
+    dec_lo, dec_hi = acs_sweep(llr0, llr1, interpret=interp)
+    bits = traceback_sweep(dec_lo, dec_hi, interpret=interp)
+    return bits.transpose(1, 0)[:B, :n_steps].astype(jnp.uint8)

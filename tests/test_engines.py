@@ -86,3 +86,26 @@ def test_tx_engine_random_seeds_decode():
     stream = channel.frame_stream(batch[1], 1.0, 0.0, gap=1000)
     res = RxEngine(nrx=1).process(stream)
     assert res and res[0].ok and res[0].mpdus[0] == mpdu
+
+
+def test_dedup_triggers_device_matches_host():
+    import jax.numpy as jnp
+    from gr_ieee80211_tpu.ops.frontend import dedup_triggers_device
+    c = np.array([100, 160, 660, 3000, 3560, 9000, -1, -1], dtype=np.int32)
+    out = np.asarray(dedup_triggers_device(jnp.asarray(c), 5))
+    assert out.tolist() == [100, 3000, 9000, -1, -1]
+
+
+def test_rx_chain_count_fused():
+    """Single-dispatch detect->sync->decode counting (the bench hot path)."""
+    from gr_ieee80211_tpu.models.rx import rx_chain_count
+    from gr_ieee80211_tpu.ops.cplx import from_host
+    rng = np.random.default_rng(53)
+    mpdu, payload, cfg = _mk(rng, Fmt.VHT, 7, 1)
+    wave = gtx.tx_waveform(cfg, payload, group_id=0, partial_aid=0)
+    stream = channel.frame_stream(wave[0], 1.0, 900.0, num=5, gap=500)
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.awgn(stream, rms / 10 ** (32 / 20), rng)
+    n_ok, n_det = rx_chain_count(cfg, from_host(stream), nrx=1,
+                                 mpdu_len=len(mpdu), max_pkts=8)
+    assert int(n_det) == 5 and int(n_ok) == 5

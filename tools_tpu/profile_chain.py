@@ -5,6 +5,13 @@ B packets) in isolation: device detection, native host detection, sync/CFO,
 payload demod (FFT+equalize+LLR+deinterleave), Viterbi ACS, traceback,
 descramble+CRC.  Used to aim kernel optimization; mirrors the reference's
 per-block clock-tick tables (tools/performance/Gr_WiFi_Time_Complexity_Report).
+
+NOTE on methodology: on the tunneled TPU backend a device->host readback
+costs ~26 ms of relay round-trip latency regardless of work, and
+``block_until_ready`` alone does NOT wait for completion.  Every stage is
+therefore timed by jitting ``sum(first-leaf slice)`` and pulling the scalar,
+so printed numbers INCLUDE one fixed round trip — subtract the "noop" line
+to get pure device time.
 """
 import sys
 import time
@@ -12,17 +19,6 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-
-
-def timeit(fn, *args, n=5):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n, out
 
 
 def main():
@@ -35,8 +31,10 @@ def main():
     from gr_ieee80211_tpu.models import rx as RXM
     from gr_ieee80211_tpu.ops import frontend as FE, ofdm as OF
     from gr_ieee80211_tpu.ops import viterbi as VXLA
+    from gr_ieee80211_tpu.ops import crc as CRC
     from gr_ieee80211_tpu.ops.cplx import from_host, cstack
-    from gr_ieee80211_tpu.ops.viterbi_pallas import acs_sweep, _traceback
+    from gr_ieee80211_tpu.ops.viterbi_pallas import (
+        acs_sweep, traceback_sweep, B_TILE, T_CHUNK)
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     rng = np.random.default_rng(1)
@@ -60,21 +58,30 @@ def main():
     print(f"backend={jax.default_backend()} B={B} stream={n_iq/1e6:.1f}M",
           file=sys.stderr)
 
-    # --- detection ---------------------------------------------------------
-    @jax.jit
-    def detect(dev):
-        m4 = FE.stf_metric_strided(dev[0])
-        return FE.detect_plateaus_strided(m4, max_out=3 * B)
+    def timeit(name, fn, *a, n=5, extra=""):
+        s = jax.jit(lambda *a: jnp.sum(
+            jax.tree_util.tree_leaves(fn(*a))[0][..., :1].astype(jnp.float32)))
+        float(s(*a))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            float(s(*a))
+        t = (time.perf_counter() - t0) / n
+        print(f"{name:22s} {t*1e3:8.2f} ms   {extra}")
+        return t, fn(*a)
 
-    t, cand = timeit(detect, dev)
-    print(f"detect (device)        {t*1e3:8.2f} ms   {n_iq/t/1e6:7.0f} Msamp/s")
+    timeit("noop (latency floor)", lambda d: d.re[:1, :1] + 0.0, dev)
+    t, cand = timeit("detect (device)",
+                     lambda d: FE.detect_plateaus_strided(
+                         FE.stf_metric_strided(d[0]), max_out=3 * B), dev)
     from gr_ieee80211_tpu.runtime import native as NAT
     if NAT.available():
+        NAT.stf_detect(stream, max_out=3 * B)
         t0 = time.perf_counter()
         for _ in range(5):
             trigs = NAT.stf_detect(stream, max_out=3 * B)
         t = (time.perf_counter() - t0) / 5
-        print(f"detect (native host)   {t*1e3:8.2f} ms   {n_iq/t/1e6:7.0f} Msamp/s")
+        print(f"{'detect (native host)':22s} {t*1e3:8.2f} ms   "
+              f"{n_iq/t/1e6:6.0f} Msamp/s")
         trigs = np.asarray(trigs[:B], np.int32)
     else:
         c = np.asarray(cand)
@@ -83,22 +90,20 @@ def main():
     pad[: len(trigs)] = trigs
     trigs_j = jnp.asarray(pad)
 
-    # --- sync --------------------------------------------------------------
-    t, (ltf_idx, peak, cfo) = timeit(RXM._sync_core, dev[0], trigs_j)
-    print(f"sync/CFO               {t*1e3:8.2f} ms   {B/t:9.0f} pkt/s")
+    t, (ltf_idx, peak, cfo) = timeit(
+        "sync/CFO", lambda d, tr: RXM._sync_core(d, tr), dev[0], trigs_j)
 
-    # --- payload end-to-end --------------------------------------------
-    pay = jax.jit(lambda d, li, cf: RXM._payload_core(
-        cfg, d, li, cf, nrx=1, mpdu_len=len(mpdu))["mpdu_fcs_ok"])
-    t, ok = timeit(pay, dev, ltf_idx, cfo)
-    print(f"payload (all)          {t*1e3:8.2f} ms   {B/t:9.0f} pkt/s   "
-          f"ok={int(np.asarray(ok).sum())}/{B}")
+    t, ok = timeit("payload (all)",
+                   lambda d, li, cf: RXM._payload_core(
+                       cfg, d, li, cf, nrx=1, mpdu_len=len(mpdu))["mpdu_fcs_ok"],
+                   dev, ltf_idx, cfo,
+                   extra=f"(B={B})")
+    print(f"{'':22s}            ok="
+          f"{int(np.asarray(ok).sum())}/{B}")
 
-    # --- payload sub-stages -------------------------------------------------
     ds = RXM._data_start(cfg)
     n_need = ds + 80 * cfg.nsym
 
-    @jax.jit
     def demod(dev, ltf_idx, cfo):
         xs = cstack([FE.derotate_batch(dev[0], ltf_idx, cfo, n_need)], axis=1)
         h, ph = OF.nl_chanest(xs, 208 + 160 + 80, cfg.nltf, cfg.nss,
@@ -109,33 +114,29 @@ def main():
         coded = OF.deinterleave_deparse(llr, cfg)
         return VXLA.depuncture(coded, cfg.cr, cfg.n_trellis)
 
-    t, pairs = timeit(demod, dev, ltf_idx, cfo)
-    print(f"  demod->llr pairs     {t*1e3:8.2f} ms   {B/t:9.0f} pkt/s")
+    t, pairs = timeit("  demod->llr pairs", demod, dev, ltf_idx, cfo)
 
-    Bp = -(-B // 128) * 128
+    Bp = -(-B // B_TILE) * B_TILE
     Tt = pairs.shape[1]
-    Tp = -(-Tt // 128) * 128
+    Tp = -(-Tt // T_CHUNK) * T_CHUNK
     x = jnp.pad(pairs, ((0, Bp - B), (0, Tp - Tt), (0, 0)))
     llr0 = jnp.asarray(x[:, :, 0].transpose(1, 0))
     llr1 = jnp.asarray(x[:, :, 1].transpose(1, 0))
-    t, dec = timeit(lambda a, b: acs_sweep(a, b), llr0, llr1)
-    steps = Tp * Bp * 64
-    print(f"  viterbi ACS          {t*1e3:8.2f} ms   {B/t:9.0f} pkt/s   "
-          f"({steps/t/1e9:.0f} Gstate/s, trellis {Tt})")
-    t, bits = timeit(lambda d: _traceback(d, Tt), dec)
-    print(f"  traceback            {t*1e3:8.2f} ms   {B/t:9.0f} pkt/s")
+    t, (dlo, dhi) = timeit("  viterbi ACS", lambda a, b: acs_sweep(a, b),
+                           llr0, llr1,
+                           extra=f"(trellis {Tt})")
+    t, bits = timeit("  traceback",
+                     lambda a, b: traceback_sweep(a, b), dlo, dhi)
 
-    @jax.jit
     def post(bits):
-        data = OF.descramble_bits(bits[:B])
+        b = bits.transpose(1, 0)[:B, :Tt].astype(jnp.uint8)
+        data = OF.descramble_bits(b)
         psdu_bits = data[:, 16: 16 + 8 * cfg.psdu_len]
-        from gr_ieee80211_tpu.ops import crc as CRC
         mpdu_bits = psdu_bits[:, 32: 32 + 8 * len(mpdu)]
         return CRC.fcs_ok_batch(mpdu_bits, 8 * len(mpdu))
 
-    t, ok2 = timeit(post, bits)
-    print(f"  descramble+crc       {t*1e3:8.2f} ms   {B/t:9.0f} pkt/s   "
-          f"ok={int(np.asarray(ok2).sum())}/{B}")
+    t, ok2 = timeit("  descramble+crc", post, bits)
+    print(f"{'':22s}            ok={int(np.asarray(ok2).sum())}/{B}")
 
 
 if __name__ == "__main__":
