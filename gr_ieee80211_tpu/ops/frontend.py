@@ -126,6 +126,38 @@ def detect_plateaus_strided(m4: jax.Array, thresh: float = 0.3,
     return jnp.where(idx >= 0, idx * DETECT_STRIDE, -1)
 
 
+_COMPACT_ROW = 512
+_COMPACT_K = 6
+
+
+def _compact_indices(start: jax.Array, max_out: int) -> jax.Array:
+    """Ascending indices of set bits in a large bool vector, -1 padded.
+
+    ``jnp.nonzero`` over a multi-megapoint vector costs ~23 ms on TPU; this
+    two-level scheme extracts the first K set positions of each 512-lane row
+    with K vectorized argmin passes (plateau starts are >=180 strided points
+    apart, so K=6 per row is unreachable), then runs the cheap nonzero over
+    the (rows*K,) candidate list only.
+    """
+    n = start.shape[-1]
+    R = -(-n // _COMPACT_ROW)
+    s = jnp.pad(start, (0, R * _COMPACT_ROW - n)).reshape(R, _COMPACT_ROW)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, _COMPACT_ROW), 1)
+    base = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0] * _COMPACT_ROW
+    BIG = jnp.int32(_COMPACT_ROW + 1)
+    cands = []
+    for _ in range(_COMPACT_K):
+        p = jnp.min(jnp.where(s, pos, BIG), axis=1)          # (R,)
+        found = p < BIG
+        cands.append(jnp.where(found, base + p, -1))
+        s = s & (pos != p[:, None])
+    cand = jnp.stack(cands, axis=1).reshape(-1)              # (R*K,) row-major
+    keep = cand >= 0
+    slot = jnp.nonzero(keep, size=max_out, fill_value=-1)[0]
+    # row-major with ascending per-row slots => compacted order is ascending
+    return jnp.where(slot >= 0, cand[jnp.maximum(slot, 0)], -1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_out", "run"))
 def detect_plateaus(m: jax.Array, thresh: float = 0.3, run: int = 20,
                     max_out: int = 4096) -> jax.Array:
@@ -137,8 +169,7 @@ def detect_plateaus(m: jax.Array, thresh: float = 0.3, run: int = 20,
     nr = run_ok.shape[-1]
     prev = jnp.concatenate([jnp.zeros(1), above[:-1]])
     start = run_ok & (prev[:nr] == 0) & (above[:nr] > 0)
-    idx = jnp.nonzero(start, size=max_out, fill_value=-1)[0]
-    return idx.astype(jnp.int32)
+    return _compact_indices(start, max_out).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "spacing"))

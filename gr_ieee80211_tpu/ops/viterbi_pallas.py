@@ -32,12 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..spec import tables as T
 
 NEG = -1e9
-#: lane-tile width: 512 packets/tile amortizes the VPU issue overhead of the
-#: sequential trellis loop (each op works (32, 512) instead of (32, 128));
-#: VMEM/block = 4 MB decisions + 0.5 MB LLR + 128 KB metrics, double-buffered
-#: well under the 16 MB budget.
-B_TILE = 512
-T_CHUNK = 128
+#: lane-tile width: 1024 packets/tile minimizes the count of sequential
+#: trellis-loop iterations (the per-iteration issue overhead dominates the
+#: ~12 VPU ops of one ACS step): total iterations = (T/T_CHUNK)*(B/B_TILE)
+#: *T_CHUNK = T*B/B_TILE.  T_CHUNK=64 keeps the double-buffered decision
+#: blocks (2 x 2 MB x 2) plus LLR/metrics inside the 16 MB VMEM budget.
+B_TILE = 1024
+T_CHUNK = 64
 
 
 def _branch_masks_in_kernel():
@@ -71,10 +72,13 @@ def _acs_kernel(llr0_ref, llr1_ref, dec_lo_ref, dec_hi_ref, pm):
 
     masks = _branch_masks_in_kernel()
     (a00, a10) = masks[(0, 0)]
-    (b00, b10) = masks[(0, 1)]
-    (a01, a11) = masks[(1, 0)]
-    (b01, b11) = masks[(1, 1)]
 
+    # Branch-metric symmetry: flipping the predecessor parity (p0) or the
+    # input bit flips BOTH output bits, so with bm = a00*l0 + a10*l1 and
+    # q = (l0+l1) - bm the four candidates are
+    #   cand_a_lo = ev + bm   cand_b_lo = od + q
+    #   cand_a_hi = ev + q    cand_b_hi = od + bm
+    # — 12 VPU ops per trellis step instead of 16.
     def step(t, carry):
         p = carry
         l0 = llr0_ref[t, :][None, :]        # (1, B_TILE)
@@ -82,10 +86,12 @@ def _acs_kernel(llr0_ref, llr1_ref, dec_lo_ref, dec_hi_ref, pm):
         pr = p.reshape(32, 2, B_TILE)
         ev = pr[:, 0, :]                    # (32, B_TILE) even predecessors
         od = pr[:, 1, :]
-        cand_a_lo = ev + a00 * l0 + a10 * l1
-        cand_b_lo = od + b00 * l0 + b10 * l1
-        cand_a_hi = ev + a01 * l0 + a11 * l1
-        cand_b_hi = od + b01 * l0 + b11 * l1
+        bm = a00 * l0 + a10 * l1
+        q = (l0 + l1) - bm
+        cand_a_lo = ev + bm
+        cand_b_lo = od + q
+        cand_a_hi = ev + q
+        cand_b_hi = od + bm
         dec_lo_ref[t, :, :] = (cand_b_lo > cand_a_lo).astype(jnp.int8)
         dec_hi_ref[t, :, :] = (cand_b_hi > cand_a_hi).astype(jnp.int8)
         new_lo = jnp.maximum(cand_a_lo, cand_b_lo)
