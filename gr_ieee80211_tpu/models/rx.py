@@ -186,6 +186,30 @@ def rx_chain_count(cfg: PhyConfig, stream: CF, nrx: int = 1,
         jnp.sum(valid.astype(jnp.int32))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "nrx", "mpdu_len", "max_pkts"))
+def rx_chain_ok(cfg: PhyConfig, stream: CF, nrx: int = 1,
+                mpdu_len: int = 0, max_pkts: int = 4096):
+    """Like :func:`rx_chain_count` but per-packet: returns
+    (ok (max_pkts,) bool, ltf_idx (max_pkts,) int32, valid (max_pkts,) bool)
+    so a host harness can map each detected packet back to its transmit slot
+    (the PER-vs-SNR sweep decodes all SNR points in one dispatch)."""
+    m4 = FE.stf_metric_strided(stream[0])
+    cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts)
+    trigs = FE.dedup_triggers_device(cand, max_pkts,
+                                     spacing=TRIG_DEDUP_SPACING)
+    valid = trigs >= 0
+    trigs = jnp.maximum(trigs, 0)
+    ltf_idx, peak, cfo = _sync_core(stream[0], trigs)
+    n_need = _data_start(cfg) + 80 * cfg.nsym
+    valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
+    ltf_idx_c = jnp.clip(ltf_idx, 0, stream.shape[-1] - n_need - 1)
+    out = _payload_core(cfg, stream[:nrx], ltf_idx_c, cfo, nrx=nrx,
+                        mpdu_len=mpdu_len)
+    ok = out.get("mpdu_fcs_ok", out.get("fcs_ok"))
+    return ok & valid, ltf_idx, valid
+
+
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------

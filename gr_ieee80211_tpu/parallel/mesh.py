@@ -146,3 +146,69 @@ def frontend_sp(mesh: Mesh, max_out_per_shard: int = 512):
         return fn(stream_cf.re, stream_cf.im)
 
     return jax.jit(wrapped)
+
+
+# ---------------------------------------------------------------------------
+# sp: full end-to-end time-sharded RX chain
+# ---------------------------------------------------------------------------
+
+def rx_chain_sp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0,
+                max_pkts_per_shard: int = 512):
+    """Build the fused detect->sync->decode->count chain, time-sharded.
+
+    The IQ timeline is split into contiguous per-chip blocks.  Each chip
+    pulls a halo of (packet span + sync lookahead) samples from its right
+    neighbor over ICI (``ppermute``), runs the identical local fused chain
+    (models.rx.rx_chain_count's body) on block+halo, owns exactly the
+    packets whose trigger falls inside its private block, and the global
+    (n_fcs_ok, n_detected) pair is one psum.  This is the overlap-save
+    translation of the reference's streaming state machines
+    (SURVEY.md section 5 "long-context handling").
+    """
+    from ..models.rx import (_sync_core, _payload_core, _data_start,
+                             TRIG_DEDUP_SPACING)
+
+    sp = mesh.axis_names[-1]
+    n_need = _data_start(cfg) + 80 * cfg.nsym
+    halo = n_need + 700          # packet span + trigger->ltf slack
+
+    def local_chain(block_re, block_im):
+        blk = CF(block_re.reshape(-1), block_im.reshape(-1))
+        n_local = blk.shape[0]
+        n_dev = jax.lax.axis_size(sp)
+        left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+        def pull(v):
+            return jax.lax.ppermute(
+                jax.lax.dynamic_slice(v, (0,), (halo,)), sp, perm=left)
+
+        ext = CF(jnp.concatenate([blk.re, pull(blk.re)]),
+                 jnp.concatenate([blk.im, pull(blk.im)]))
+        m4 = FE.stf_metric_strided(ext)
+        cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts_per_shard)
+        # ownership rule: a packet belongs to the shard holding its trigger
+        cand = jnp.where(cand < n_local, cand, -1)
+        # -1s sort to the front of dedup's ascending diff chain; mask after
+        trigs = FE.dedup_triggers_device(cand, max_pkts_per_shard,
+                                         spacing=TRIG_DEDUP_SPACING)
+        valid = trigs >= 0
+        trigs = jnp.maximum(trigs, 0)
+        ltf_idx, peak, cfo = _sync_core(ext, trigs)
+        valid &= (peak > 0.5) & (ltf_idx + n_need < ext.shape[-1])
+        ltf_idx = jnp.clip(ltf_idx, 0, ext.shape[-1] - n_need - 1)
+        out = _payload_core(cfg, CF(ext.re[None], ext.im[None]), ltf_idx,
+                            cfo, nrx=1, mpdu_len=mpdu_len)
+        ok = out.get("mpdu_fcs_ok", out.get("fcs_ok"))
+        n_ok = jax.lax.psum(jnp.sum((ok & valid).astype(jnp.int32)), sp)
+        n_det = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), sp)
+        return n_ok, n_det
+
+    # check_vma=False: the Pallas Viterbi inside _payload_core has no
+    # varying-mesh-axes annotation; each shard runs it purely locally
+    fn = jax.shard_map(local_chain, mesh=mesh, in_specs=(P(sp), P(sp)),
+                       out_specs=(P(), P()), check_vma=False)
+
+    def wrapped(stream_cf: CF):
+        return fn(stream_cf.re, stream_cf.im)
+
+    return jax.jit(wrapped), halo

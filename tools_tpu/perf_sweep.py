@@ -3,8 +3,11 @@
 Mirrors ``/root/reference/tools/performance/perf_siso.py``: per MCS, N
 packets of 500 B payload, AWGN calibrated against the signal RMS, SNR swept
 0..30 dB; PER = fraction of packets whose MPDU fails FCS.  Instead of
-spawning a GNU Radio flowgraph per SNR point and grepping its stdout, every
-(mcs, snr) point is one batched device decode.
+spawning a GNU Radio flowgraph per SNR point and grepping its stdout, ALL
+SNR points of one MCS are laid out on a single IQ timeline (N packets per
+SNR segment) and decoded by the full fused chain — trigger detection, LTF
+sync, CFO, demod, Viterbi, FCS — in ONE device dispatch; a missed trigger
+counts as a lost packet exactly as in the reference harness.
 
 Usage:
   python tools_tpu/perf_sweep.py [--formats L HT VHT] [--n 100] \
@@ -63,31 +66,44 @@ def main():
             kw = dict(group_id=0, partial_aid=0) if fmt == Fmt.VHT else {}
             wave = gtx.tx_waveform(cfg, psdu, **kw)[0]
             rms = float(np.sqrt(np.mean(np.abs(wave) ** 2)))
-            # perfectly-synced batch at known positions + AWGN per SNR
-            spacing = len(wave) + 400
-            base = np.zeros(args.n * spacing + 1024, np.complex64)
-            for i in range(args.n):
-                base[512 + i * spacing: 512 + i * spacing + len(wave)] = \
-                    channel.apply_cfo(wave, 800.0)
-            ltf_idx = (512 + np.arange(args.n) * spacing + 186).astype(np.int32)
-            pers = []
             t0 = time.time()
-            for snr in snrs:
+            # one timeline: args.n packets per SNR segment, AWGN per segment
+            nsnr = len(snrs)
+            spacing = len(wave) + 400
+            seg = args.n * spacing + 1024
+            total = nsnr * seg
+            stream = np.empty(total, np.complex64)
+            w = channel.apply_cfo(wave, 800.0).astype(np.complex64)
+            starts = np.empty(nsnr * args.n, np.int64)
+            for s, snr in enumerate(snrs):
                 namp = rms / 10 ** (snr / 20)
-                noisy = base + (rng.normal(size=len(base))
-                                + 1j * rng.normal(size=len(base))
-                                ).astype(np.complex64) * (namp / np.sqrt(2))
-                dev = from_host(noisy[None])
-                stf = RXM.FE.gather_windows(dev[0], jnp.asarray(ltf_idx - 106), 80)
-                cfo0 = RXM.FE.coarse_cfo_batch(stf)
-                ltfw = RXM.FE.gather_windows(dev[0], jnp.asarray(ltf_idx), 128)
-                cfo = RXM.FE.fine_cfo_batch(ltfw, cfo0)
-                out = RXM._payload_core(cfg, dev, jnp.asarray(ltf_idx), cfo,
-                                        nrx=1, mpdu_len=len(mpdu)
-                                        if fmt == Fmt.VHT else 0)
-                key = "mpdu_fcs_ok" if fmt == Fmt.VHT else "fcs_ok"
-                ok = int(jnp.sum(out[key]))
-                pers.append(1.0 - ok / args.n)
+                block = (rng.normal(size=seg) + 1j * rng.normal(size=seg)
+                         ).astype(np.complex64) * (namp / np.sqrt(2))
+                for i in range(args.n):
+                    o = 512 + i * spacing
+                    block[o: o + len(wave)] += w
+                    starts[s * args.n + i] = s * seg + o
+                stream[s * seg: (s + 1) * seg] = block
+            # headroom: mid-packet/noise false triggers must not evict real
+            # packets at the end of the timeline (they decode to garbage and
+            # simply fail the slot-mapping below)
+            max_pkts = -(-(nsnr * args.n * 5) // (4 * 128)) * 128
+            ok, ltf_idx, valid = RXM.rx_chain_ok(
+                cfg, from_host(stream[None]), nrx=1,
+                mpdu_len=len(mpdu) if fmt == Fmt.VHT else 0,
+                max_pkts=max_pkts)
+            ok, ltf_idx, valid = (np.asarray(x) for x in (ok, ltf_idx, valid))
+            # map detections back to transmit slots by sync position
+            ok_slot = np.zeros(nsnr * args.n, bool)
+            for j in range(max_pkts):
+                if not (valid[j] and ok[j]):
+                    continue
+                s, rem = divmod(int(ltf_idx[j]), seg)
+                i = (rem - 512) // spacing
+                if 0 <= i < args.n and abs(rem - 512 - i * spacing - 186) < 300:
+                    ok_slot[s * args.n + i] = True
+            pers = [1.0 - ok_slot[s * args.n:(s + 1) * args.n].mean()
+                    for s in range(nsnr)]
             results[f"{fname}_mcs{mcs}"] = {
                 "snr_db": snrs.tolist(), "per": pers,
                 "payload": args.payload, "n": args.n,
