@@ -40,6 +40,22 @@ def qos_data_frame(payload: bytes, addr1: str, addr2: str, addr3: str,
     return body + fcs32(body)
 
 
+def data_frame(payload: bytes, addr1: str, addr2: str, addr3: str,
+               seq: int, to_ds: int = 1, from_ds: int = 0,
+               duration: int = 110) -> bytes:
+    """Plain (non-QoS) Data MPDU, subtype 0 — no QoS control field.
+
+    Mirrors mac80211.mac80211(2, 0, ...).genPacket
+    (/root/reference/tools/mac80211.py) as used by pktGenOwExample.py.
+    """
+    fc = (2 << 2) | (0 << 4) | (to_ds << 8) | (from_ds << 9)
+    hdr = struct.pack("<HH", fc, duration)
+    hdr += _mac_addr(addr1) + _mac_addr(addr2) + _mac_addr(addr1)
+    hdr += struct.pack("<H", seq << 4)
+    body = hdr + payload
+    return body + fcs32(body)
+
+
 def llc_ip_udp(payload: bytes, s_ip: str, d_ip: str, s_port: int, d_port: int,
                ip_id: int = 0, ttl: int = 64) -> bytes:
     """LLC/SNAP + IPv4 + UDP encapsulation (checksums computed)."""

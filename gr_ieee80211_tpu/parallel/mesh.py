@@ -171,23 +171,34 @@ def rx_chain_sp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0,
     sp = mesh.axis_names[-1]
     n_need = _data_start(cfg) + 80 * cfg.nsym
     halo = n_need + 700          # packet span + trigger->ltf slack
+    LH = 256                     # left halo: correlator context so a plateau
+    #                              straddling the boundary is not re-detected
+    #                              as a fresh edge start by the right shard
 
     def local_chain(block_re, block_im):
         blk = CF(block_re.reshape(-1), block_im.reshape(-1))
         n_local = blk.shape[0]
         n_dev = jax.lax.axis_size(sp)
         left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
-        def pull(v):
+        def pull_head(v):    # right neighbor's head -> my tail extension
             return jax.lax.ppermute(
                 jax.lax.dynamic_slice(v, (0,), (halo,)), sp, perm=left)
 
-        ext = CF(jnp.concatenate([blk.re, pull(blk.re)]),
-                 jnp.concatenate([blk.im, pull(blk.im)]))
+        def pull_tail(v):    # left neighbor's tail -> my left context
+            return jax.lax.ppermute(
+                jax.lax.dynamic_slice(v, (v.shape[0] - LH,), (LH,)),
+                sp, perm=right)
+
+        ext = CF(jnp.concatenate([pull_tail(blk.re), blk.re, pull_head(blk.re)]),
+                 jnp.concatenate([pull_tail(blk.im), blk.im, pull_head(blk.im)]))
         m4 = FE.stf_metric_strided(ext)
         cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts_per_shard)
         # ownership rule: a packet belongs to the shard holding its trigger
-        cand = jnp.where(cand < n_local, cand, -1)
+        # (candidates in the halos are the neighbors'); -1 holes stay safe
+        # for dedup (diff vs -1 is large, -1 itself is dropped)
+        cand = jnp.where((cand >= LH) & (cand < LH + n_local), cand, -1)
         # -1s sort to the front of dedup's ascending diff chain; mask after
         trigs = FE.dedup_triggers_device(cand, max_pkts_per_shard,
                                          spacing=TRIG_DEDUP_SPACING)

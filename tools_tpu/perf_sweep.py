@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--snrs", nargs=3, type=float, default=[0, 31, 1])
     ap.add_argument("--payload", type=int, default=500)
+    ap.add_argument("--nss", type=int, default=1, choices=(1, 2),
+                    help="2 = SU-MIMO sweep (perf_sumimo parity): HT mcs8-15"
+                         " / VHT 2SS through a mildly coupled 2x2 channel")
     ap.add_argument("--out", default="per_results.json")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -47,7 +50,12 @@ def main():
 
     rng = np.random.default_rng(2026)
     snrs = np.arange(*args.snrs)
-    mcs_by_fmt = {"L": range(8), "HT": range(8), "VHT": range(9)}
+    if args.nss == 2:
+        mcs_by_fmt = {"HT": range(8, 16), "VHT": range(9)}
+        if args.formats == ["L", "HT", "VHT"]:
+            args.formats = ["HT", "VHT"]
+    else:
+        mcs_by_fmt = {"L": range(8), "HT": range(8), "VHT": range(9)}
     results = {}
 
     for fname in args.formats:
@@ -59,37 +67,44 @@ def main():
                                       "f4:69:d5:80:0f:a0", 7)
             if fmt == Fmt.VHT:
                 psdu = mac.ampdu_aggregate_vht([mpdu])
-                cfg = PhyConfig(fmt, mcs, 1, len(psdu), ampdu=True)
+                cfg = PhyConfig(fmt, mcs, args.nss, len(psdu), ampdu=True)
             else:
                 psdu = mpdu
-                cfg = PhyConfig(fmt, mcs, 1, len(psdu))
+                cfg = PhyConfig(fmt, mcs, args.nss, len(psdu))
             kw = dict(group_id=0, partial_aid=0) if fmt == Fmt.VHT else {}
-            wave = gtx.tx_waveform(cfg, psdu, **kw)[0]
-            rms = float(np.sqrt(np.mean(np.abs(wave) ** 2)))
+            wave = gtx.tx_waveform(cfg, psdu, **kw)   # (nss, n)
+            if args.nss == 2:
+                h2 = np.eye(2) + 0.25 * (rng.normal(size=(2, 2))
+                                         + 1j * rng.normal(size=(2, 2)))
+                wave = h2 @ wave
+            nrx = args.nss
+            rms = float(np.sqrt(np.mean(np.abs(wave[0]) ** 2)))
             t0 = time.time()
             # one timeline: args.n packets per SNR segment, AWGN per segment
             nsnr = len(snrs)
-            spacing = len(wave) + 400
+            spacing = wave.shape[1] + 400
             seg = args.n * spacing + 1024
             total = nsnr * seg
-            stream = np.empty(total, np.complex64)
-            w = channel.apply_cfo(wave, 800.0).astype(np.complex64)
+            stream = np.empty((nrx, total), np.complex64)
+            w = np.stack([channel.apply_cfo(wv, 800.0) for wv in wave]
+                         ).astype(np.complex64)
             starts = np.empty(nsnr * args.n, np.int64)
             for s, snr in enumerate(snrs):
                 namp = rms / 10 ** (snr / 20)
-                block = (rng.normal(size=seg) + 1j * rng.normal(size=seg)
+                block = (rng.normal(size=(nrx, seg))
+                         + 1j * rng.normal(size=(nrx, seg))
                          ).astype(np.complex64) * (namp / np.sqrt(2))
                 for i in range(args.n):
                     o = 512 + i * spacing
-                    block[o: o + len(wave)] += w
+                    block[:, o: o + w.shape[1]] += w
                     starts[s * args.n + i] = s * seg + o
-                stream[s * seg: (s + 1) * seg] = block
+                stream[:, s * seg: (s + 1) * seg] = block
             # headroom: mid-packet/noise false triggers must not evict real
             # packets at the end of the timeline (they decode to garbage and
             # simply fail the slot-mapping below)
             max_pkts = -(-(nsnr * args.n * 5) // (4 * 128)) * 128
             ok, ltf_idx, valid = RXM.rx_chain_ok(
-                cfg, from_host(stream[None]), nrx=1,
+                cfg, from_host(stream), nrx=nrx,
                 mpdu_len=len(mpdu) if fmt == Fmt.VHT else 0,
                 max_pkts=max_pkts)
             ok, ltf_idx, valid = (np.asarray(x) for x in (ok, ltf_idx, valid))
@@ -104,7 +119,7 @@ def main():
                     ok_slot[s * args.n + i] = True
             pers = [1.0 - ok_slot[s * args.n:(s + 1) * args.n].mean()
                     for s in range(nsnr)]
-            results[f"{fname}_mcs{mcs}"] = {
+            results[f"{fname}_mcs{mcs}" + ("_2ss" if args.nss == 2 else "")] = {
                 "snr_db": snrs.tolist(), "per": pers,
                 "payload": args.payload, "n": args.n,
             }
