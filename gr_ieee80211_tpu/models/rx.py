@@ -114,6 +114,68 @@ def _data_start(cfg: PhyConfig) -> int:
     return 208 + 160 + 80 + 80 * cfg.nltf + 80
 
 
+@functools.partial(jax.jit, static_argnames=("n_total", "own"))
+def _mu_sigb_core(stream: CF, ltf_idx: jax.Array, cfo: jax.Array,
+                  n_total: int, own: int):
+    """Batched MU VHT-SIG-B decode for one (nsts-tuple, mu_pos) group.
+
+    Estimates the FULL n_total-stream channel from the VHT-LTFs, selects the
+    user's own column, equalizes the SIG-B symbol and Viterbi-decodes its 26
+    bits.  Mirrors demod's MU-STA role (lib/demod_impl.cc:344-505) and the
+    gold model (gold/rx._rx_vht_mu)."""
+    nltf = int(T.N_LTF_OF_NSTS[n_total])
+    ltf_start = 208 + 160 + 80
+    sigb_start = ltf_start + 80 * nltf
+    xs = FE.derotate_batch(stream, ltf_idx, cfo, sigb_start + 80)
+    h, pilot_h = OF.nl_chanest(xs[:, None], ltf_start, nltf, n_total,
+                               nrx_axis=True)
+    h_own = h[:, 0, own]                                 # (B, 64)
+    g = OF.fft_syms(xs[:, sigb_start + 16: sigb_start + 80])
+    exp_p = pilot_h[:, 0] * jnp.asarray(T.PILOT_VHT, jnp.float32)[None, :]
+    from ..ops.cplx import csum
+    ph = csum(g[:, T.PILOT_IDX].mul_conj(exp_p), axis=1).unit()
+    g = g * CF(ph.re[:, None], -ph.im[:, None])
+    eq = g[:, T.DATA_IDX_NL] / h_own[:, T.DATA_IDX_NL]
+    perm = T.interleave_perm_nl(1)
+    llr = eq.re[:, perm].astype(jnp.float32)
+    bits = VXLA.viterbi_decode(VXLA.depuncture(llr, "1/2", 26))
+    return bits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_total", "own", "nrx",
+                                              "mpdu_len"))
+def _payload_core_mu(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
+                     cfo: jax.Array, n_total: int, own: int,
+                     nrx: int = 1, mpdu_len: int = 0):
+    """MU-STA payload decode: like _payload_core but the channel estimate
+    covers all n_total space-time streams and only the user's own column(s)
+    equalize the data (cfg describes the user's own modulation)."""
+    nltf = int(T.N_LTF_OF_NSTS[n_total])
+    ltf_start = 208 + 160 + 80
+    data_start = ltf_start + 80 * nltf + 80
+    n_need = data_start + 80 * cfg.nsym
+    xs = cstack([FE.derotate_batch(stream[r], ltf_idx, cfo, n_need)
+                 for r in range(nrx)], axis=1)
+    h_all, pilot_h = OF.nl_chanest(xs, ltf_start, nltf, n_total,
+                                   nrx_axis=True)
+    h = h_all[:, :, own: own + cfg.nss]
+    grids = cstack([OF.extract_sym_windows(xs[:, r], data_start, cfg.nsym)
+                    for r in range(nrx)], axis=1)
+    grids = OF.fft_syms(grids)
+    llr = OF.equalize_and_demap(grids, h, pilot_h, cfg, nrx_axis=True)
+    coded = OF.deinterleave_deparse(llr, cfg)
+    pairs = VXLA.depuncture(coded, cfg.cr, cfg.n_trellis)
+    bits = viterbi_decode_pallas(pairs)
+    data = OF.descramble_bits(bits)
+    psdu_bits = data[:, 16: 16 + 8 * cfg.psdu_len]
+    out = {"psdu": OF.bits_to_bytes_batch(psdu_bits),
+           "service": data[:, :16]}
+    if mpdu_len > 4:
+        mpdu_bits = psdu_bits[:, 32: 32 + 8 * mpdu_len]
+        out["mpdu_fcs_ok"] = CRC.fcs_ok_batch(mpdu_bits, 8 * mpdu_len)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "nrx", "mpdu_len"))
 def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
                   cfo: jax.Array, nrx: int = 1, mpdu_len: int = 0):
@@ -217,9 +279,11 @@ def rx_chain_ok(cfg: PhyConfig, stream: CF, nrx: int = 1,
 class RxEngine:
     """Streaming receiver over a (nrx, N) IQ timeline."""
 
-    def __init__(self, nrx: int = 1, mu_pos: int | None = None):
+    def __init__(self, nrx: int = 1, mu_pos: int | None = None,
+                 mu_gid: int | None = None):
         self.nrx = nrx
-        self.mu_pos = mu_pos
+        self.mu_pos = mu_pos          # MU-MIMO STA position (demod mupos)
+        self.mu_gid = mu_gid          # group id filter (demod mugid), opt.
 
     # -- detection ---------------------------------------------------------
     def detect(self, stream0: jax.Array, max_out: int = 4096) -> np.ndarray:
@@ -264,6 +328,9 @@ class RxEngine:
             if cfg is None:
                 meta.append(None)
                 continue
+            if isinstance(cfg, tuple) and cfg[0] == "mu":
+                meta.append(cfg)
+                continue
             if ltf_idx[i] + _data_start(cfg) + 80 * cfg.nsym > stream.shape[1]:
                 meta.append(None)
                 continue
@@ -296,13 +363,70 @@ class RxEngine:
                 r.ndp_chan = self._ndp_chan(dev, int(ltf_idx[i]), float(cfo[i]),
                                             mi[1])
                 results[i] = r
+        self._process_mu(dev, ltf_idx, cfo, meta, results, stream.shape[1])
         return [r for r in results if r is not None]
+
+    def _process_mu(self, dev, ltf_idx, cfo, meta, results, n_stream):
+        """Batched MU-STA decode: SIG-B pass per nsts-group, then payload
+        buckets per (mcs, len, nsym)."""
+        groups: dict[tuple, list[int]] = {}
+        for i, mi in enumerate(meta):
+            if mi is not None and mi[0] == "mu":
+                groups.setdefault(mi[1].nsts, []).append(i)
+        for nsts, idxs in groups.items():
+            n_total = sum(nsts)
+            own = sum(nsts[: self.mu_pos])
+            sel = np.asarray(idxs, dtype=np.int32)
+            sigb_b = np.asarray(_mu_sigb_core(
+                dev[0], jnp.asarray(ltf_idx[sel]), jnp.asarray(cfo[sel]),
+                n_total, own))
+            nltf = int(T.N_LTF_OF_NSTS[n_total])
+            data_start = 208 + 160 + 80 + 80 * nltf + 80
+            buckets: dict[PhyConfig, list[tuple[int, np.ndarray]]] = {}
+            for j, i in enumerate(idxs):
+                sigb = S.parse_vhtsigb(sigb_b[j], mu=True)
+                lsig = meta[i][2]
+                n_data = lsig.nsym * 80 - (160 + 80 + 80 * nltf + 80)
+                nsym = max(n_data // 80, 0)
+                if nsym == 0 or not (1 <= sigb.length <= 4095):
+                    continue
+                if ltf_idx[i] + data_start + 80 * nsym > n_stream:
+                    continue
+                cfg = PhyConfig(Fmt.VHT, sigb.mcs, nsts[self.mu_pos],
+                                sigb.length, ampdu=True, mu_nsym=nsym)
+                if cfg.mcs > 8 or cfg.nsym != nsym:
+                    continue
+                buckets.setdefault(cfg, []).append((i, sigb.crc))
+            for cfg, items in buckets.items():
+                sel = np.asarray([i for i, _ in items], dtype=np.int32)
+                out = _payload_core_mu(cfg, dev[: self.nrx],
+                                       jnp.asarray(ltf_idx[sel]),
+                                       jnp.asarray(cfo[sel]),
+                                       sum(nsts), sum(nsts[: self.mu_pos]),
+                                       nrx=self.nrx)
+                psdu = np.asarray(out["psdu"])
+                service = np.asarray(out["service"])
+                for j, (i, crc) in enumerate(items):
+                    if not np.array_equal(service[j, 8:16], crc):
+                        continue
+                    r = RxResult(False, Fmt.VHT, cfg.mcs, cfg.nss,
+                                 int(ltf_idx[i]), float(cfo[i]))
+                    r.psdu = psdu[j].tobytes()
+                    r.mpdus = MAC.ampdu_deaggregate(r.psdu)
+                    r.ok = len(r.mpdus) > 0
+                    results[i] = r
 
     def _classify(self, lsig, ht_bits, vht_bits):
         """-> (PhyConfig | None, ndp_nss | None)."""
         if lsig.mcs != 0:
             return PhyConfig(Fmt.L, lsig.mcs, 1, lsig.length), None
         siga = S.parse_vhtsiga(vht_bits)
+        if siga.ok and siga.mu and self.mu_pos is not None:
+            if self.mu_gid is not None and siga.group_id != self.mu_gid:
+                return None, None
+            if siga.nsts[self.mu_pos] == 0:
+                return None, None
+            return ("mu", siga, lsig), None
         if siga.ok and not siga.mu:
             nltf = int(T.N_LTF_OF_NSTS[siga.nss])
             n_data = lsig.nsym * 80 - (160 + 80 + 80 * nltf + 80)

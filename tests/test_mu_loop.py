@@ -84,3 +84,42 @@ def test_zf_q_separates_users():
     assert off.max() < 1e-9 * max(1.0, on.max())
     # normalization: ||Q||_F = sqrt(nSTS)
     assert np.allclose(np.linalg.norm(q, axis=(1, 2)), np.sqrt(2))
+
+
+def test_mu_engine_batched_rx():
+    """The batched TPU engine decodes MU downlink per STA position
+    (demod(mupos,mugid) parity, lib/demod_impl.cc:28-40,344-505)."""
+    from gr_ieee80211_tpu.models.rx import RxEngine
+    rng = np.random.default_rng(77)
+    h_sta = [(rng.normal(size=(1, 2)) + 1j * rng.normal(size=(1, 2))) / np.sqrt(2)
+             for _ in range(2)]
+    ndp = tx.tx_waveform(PhyConfig(Fmt.VHT, 0, 2, 0, ampdu=True), b"",
+                         group_id=0, partial_aid=0)
+    fb = []
+    for u in range(2):
+        stream = channel.frame_stream(channel.mimo_channel(ndp, h_sta[u]),
+                                      1.0, 150.0, gap=1200)
+        stream = channel.awgn(stream, 0.015 / 10 ** (35 / 20), rng)
+        p = rx.receive(stream)[0]
+        fb.append(sounding.feedback_from_ndp(p.ndp_chan)[0])
+    bfq = sounding.q_to_grid(sounding.zf_q(np.stack(fb)))
+    mpdu0 = mac.qos_data_frame(b"engine user zero " * 7, "02:00:00:00:00:10",
+                               "02:00:00:00:00:01", "02:00:00:00:00:10", 5)
+    mpdu1 = mac.qos_data_frame(b"ENGINE USER ONE " * 5, "02:00:00:00:00:11",
+                               "02:00:00:00:00:01", "02:00:00:00:00:11", 6)
+    a0 = mac.ampdu_aggregate_vht([mpdu0])
+    a1 = mac.ampdu_aggregate_vht([mpdu1])
+    mu = MuConfig((PhyConfig(Fmt.VHT, 3, 1, len(a0), ampdu=True),
+                   PhyConfig(Fmt.VHT, 2, 1, len(a1), ampdu=True)), group_id=2)
+    wave = tx.tx_waveform_mu(mu, [a0, a1], bfq)
+    for u, mpdu in enumerate([mpdu0, mpdu1]):
+        stream = channel.frame_stream(channel.mimo_channel(wave, h_sta[u]),
+                                      1.0, 150.0, num=3, gap=1200)
+        stream = channel.awgn(stream, 0.012 / 10 ** (30 / 20), rng)
+        eng = RxEngine(nrx=1, mu_pos=u, mu_gid=2)
+        res = [r for r in eng.process(stream) if r.ok]
+        assert len(res) == 3
+        assert all(r.mpdus[0] == mpdu for r in res)
+        # wrong group id -> packets ignored
+        eng_other = RxEngine(nrx=1, mu_pos=u, mu_gid=5)
+        assert not [r for r in eng_other.process(stream) if r.ok]
