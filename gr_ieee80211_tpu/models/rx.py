@@ -70,15 +70,24 @@ class RxResult:
 
 @jax.jit
 def _sync_core(stream: CF, trigs: jax.Array):
-    """Candidate triggers -> (ltf_idx abs, peak, cfo)."""
-    wins = FE.gather_windows(stream, trigs + 80, 368)
-    off, peak = FE.ltf_fine_sync(wins)
-    ltf_idx = trigs + 80 + off
-    stf = FE.gather_windows(stream, trigs, 80)
-    cfo0 = FE.coarse_cfo_batch(stf)
-    ltfw = FE.gather_windows(stream, ltf_idx, 128)
-    cfo = FE.fine_cfo_batch(ltfw, cfo0)
-    return ltf_idx, peak, cfo
+    """Candidate triggers -> (ltf_idx abs, peak, cfo).
+
+    ONE stream gather of (B, 464) at the trigger covers the STF window
+    [0:80), the LTF search span [80:448) and the fine-CFO window at
+    ltf_idx (<= trig+208, +128 < 464); the 128-sample CFO window is a
+    cheap per-row slice of the already-gathered block."""
+    wins = FE.gather_windows(stream, trigs, 464)
+    off, peak = FE.ltf_fine_sync(wins[:, 80: 448])
+    ltf_off = 80 + off                         # ltf_idx - trig, in [80, 208]
+    cfo0 = FE.coarse_cfo_batch(wins[:, :80])
+
+    def row128(re, im, o):
+        return (jax.lax.dynamic_slice(re, (o,), (128,)),
+                jax.lax.dynamic_slice(im, (o,), (128,)))
+
+    lre, lim = jax.vmap(row128)(wins.re, wins.im, ltf_off)
+    cfo = FE.fine_cfo_batch(CF(lre, lim), cfo0)
+    return trigs + ltf_off, peak, cfo
 
 
 @jax.jit
