@@ -56,6 +56,13 @@ def _lib():
     lib.phyrt_rb_fill.argtypes = [ctypes.c_void_p]
     lib.phyrt_rb_writable.restype = ctypes.c_int64
     lib.phyrt_rb_writable.argtypes = [ctypes.c_void_p]
+    lib.phyrt_udp_ingest_start.restype = ctypes.c_void_p
+    lib.phyrt_udp_ingest_start.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.phyrt_udp_ingest_port.restype = ctypes.c_int
+    lib.phyrt_udp_ingest_port.argtypes = [ctypes.c_void_p]
+    lib.phyrt_udp_ingest_stats.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_int64)] * 3
+    lib.phyrt_udp_ingest_stop.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -135,5 +142,48 @@ class IqRing:
     def __del__(self):
         try:
             self.close()
+        except Exception:
+            pass
+
+
+class UdpIngest:
+    """Native UDP IQ source: a C++ thread receives interleaved-cf32
+    datagrams on localhost and writes them straight into an :class:`IqRing`
+    — Python is out of the per-datagram hot path (the GR udp-source /
+    UHD-source equivalent)."""
+
+    def __init__(self, ring: IqRing, port: int = 0):
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._h = lib.phyrt_udp_ingest_start(ring._h, port)
+        if not self._h:
+            raise OSError(f"cannot bind UDP ingest port {port}")
+        self.port = int(lib.phyrt_udp_ingest_port(self._h))
+        self._last_stats = {"datagrams": 0, "samples": 0, "dropped": 0}
+
+    @property
+    def stats(self) -> dict:
+        if not self._h:
+            return dict(self._last_stats)
+        d = ctypes.c_int64()
+        s = ctypes.c_int64()
+        x = ctypes.c_int64()
+        self._lib.phyrt_udp_ingest_stats(self._h, ctypes.byref(d),
+                                         ctypes.byref(s), ctypes.byref(x))
+        self._last_stats = {"datagrams": d.value, "samples": s.value,
+                            "dropped": x.value}
+        return dict(self._last_stats)
+
+    def stop(self):
+        if self._h:
+            _ = self.stats          # snapshot final counters
+            self._lib.phyrt_udp_ingest_stop(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.stop()
         except Exception:
             pass

@@ -233,3 +233,82 @@ int64_t phyrt_rb_fill(void* h) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// UDP IQ ingest: a native thread receiving interleaved-cf32 datagrams
+// straight into a ring buffer (the GR udp/UHD source equivalent) — Python
+// never touches the per-datagram hot path.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+#include <sys/socket.h>
+#include <netinet/in.h>
+#include <arpa/inet.h>
+#include <unistd.h>
+
+struct UdpIngest {
+  int fd = -1;
+  int port = 0;
+  std::thread th;
+  std::atomic<bool> stop{false};
+  std::atomic<int64_t> datagrams{0};
+  std::atomic<int64_t> samples{0};
+  std::atomic<int64_t> dropped{0};  // samples rejected (ring full)
+};
+
+extern "C" {
+
+// Start an ingest thread feeding ring `rb_handle` from UDP `port`
+// (port 0 = ephemeral).  Returns a handle, or nullptr on socket error.
+void* phyrt_udp_ingest_start(void* rb_handle, int port) {
+  auto* rb = (RingBuf*)rb_handle;
+  auto* u = new UdpIngest();
+  u->fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (u->fd < 0) { delete u; return nullptr; }
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons((uint16_t)port);
+  if (bind(u->fd, (sockaddr*)&addr, sizeof(addr)) < 0) {
+    close(u->fd); delete u; return nullptr;
+  }
+  socklen_t alen = sizeof(addr);
+  getsockname(u->fd, (sockaddr*)&addr, &alen);
+  u->port = ntohs(addr.sin_port);
+  timeval tv{0, 100000};  // 100 ms poll so stop() is responsive
+  setsockopt(u->fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+  u->th = std::thread([u, rb]() {
+    std::vector<float> pkt(2 * 8192);
+    while (!u->stop.load(std::memory_order_relaxed)) {
+      ssize_t r = recv(u->fd, pkt.data(), pkt.size() * sizeof(float), 0);
+      if (r <= 0) continue;
+      int64_t n = r / (2 * (int64_t)sizeof(float));
+      if (n <= 0) continue;
+      int64_t acc = phyrt_rb_write(rb, pkt.data(), n);
+      u->datagrams.fetch_add(1, std::memory_order_relaxed);
+      u->samples.fetch_add(acc, std::memory_order_relaxed);
+      if (acc < n) u->dropped.fetch_add(n - acc, std::memory_order_relaxed);
+    }
+  });
+  return u;
+}
+
+int phyrt_udp_ingest_port(void* h) { return ((UdpIngest*)h)->port; }
+
+void phyrt_udp_ingest_stats(void* h, int64_t* datagrams, int64_t* samples,
+                            int64_t* dropped) {
+  auto* u = (UdpIngest*)h;
+  *datagrams = u->datagrams.load();
+  *samples = u->samples.load();
+  *dropped = u->dropped.load();
+}
+
+void phyrt_udp_ingest_stop(void* h) {
+  auto* u = (UdpIngest*)h;
+  u->stop.store(true);
+  if (u->th.joinable()) u->th.join();
+  close(u->fd);
+  delete u;
+}
+
+}  // extern "C"

@@ -1,0 +1,55 @@
+"""Streaming TX daemon — the tx.grc flowgraph equivalent.
+
+Listens for the reference 5/10-byte-header MAC->PHY datagrams on :9528
+(macExampleGrTx.py / cmu scripts work unmodified), synthesizes the burst,
+and frames it into a continuous cf32 sample stream written to a file and/or
+sent as UDP datagrams (pairs with rx_daemon --udp-iq for loopback).
+
+  python tools_tpu/tx_daemon.py --out tx_stream.bin
+  python tools_tpu/tx_daemon.py --udp-out 9000 [--port 9528] [--amp 0.2]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="append cf32 stream file")
+    ap.add_argument("--udp-out", type=int, default=None,
+                    help="send cf32 datagrams to 127.0.0.1:<port>")
+    ap.add_argument("--port", type=int, default=9528)
+    ap.add_argument("--gap", type=int, default=1200)
+    ap.add_argument("--amp", type=float, default=0.2)
+    args = ap.parse_args()
+    if args.out is None and args.udp_out is None:
+        ap.error("need --out and/or --udp-out")
+
+    from gr_ieee80211_tpu.runtime.udp_phy import PhyTxServer
+    from gr_ieee80211_tpu.runtime.streaming import TxStreamer
+
+    sink = TxStreamer(path=args.out,
+                      udp_addr=("127.0.0.1", args.udp_out)
+                      if args.udp_out else None,
+                      gap=args.gap, amp=args.amp)
+    srv = PhyTxServer(sink=sink, port=args.port)
+    srv.start()
+    print(f"MAC->PHY requests on udp:{srv.port}; "
+          f"stream -> {args.out or ''} {('udp:%d' % args.udp_out) if args.udp_out else ''}",
+          file=sys.stderr)
+    try:
+        while True:
+            time.sleep(5)
+            print(f"bursts: {sink.n_bursts}", file=sys.stderr)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        sink.close()
+
+
+if __name__ == "__main__":
+    main()
