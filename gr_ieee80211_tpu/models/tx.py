@@ -118,8 +118,12 @@ def _scramble_batch(bits: jax.Array, seeds: jax.Array) -> jax.Array:
         word[sd] = int(sum(int(b) << i for i, b in enumerate(w7)))
     off = jnp.asarray(off_tab)[jnp.asarray(word)[seeds]]
     n = bits.shape[1]
-    idx = (off[:, None] + np.arange(n)[None, :]) % 127
-    return bits ^ jnp.asarray(seq127)[idx]
+    # one-hot MXU matmul instead of a (B, n) dynamic gather (same fix as
+    # ofdm.descramble_bits: the gather costs ~100 ms at B=4096 on TPU)
+    onehot = (off[:, None] == np.arange(127)[None, :]).astype(jnp.float32)
+    seq = jnp.dot(onehot, jnp.asarray(OF._descramble_matrix(n)),
+                  preferred_element_type=jnp.float32)
+    return bits ^ seq.astype(bits.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "group_id", "partial_aid"))
