@@ -84,6 +84,9 @@ def main():
     ref_pkts_s = 4.9e9 / (cfg.nsym * 312 * 93)
     log(f"{dt*1e3:.1f} ms/batch; {pkts_s:,.0f} pkt/s; {samples_s/1e6:.0f} Msamp/s; "
         f"ok {n_ok}/{B}; ref ceiling {ref_pkts_s:,.0f} pkt/s")
+    log(f"(full chain at {samples_s/20e6:.1f}x realtime vs 20 Msps; the "
+        f"reference decode stage ALONE caps at {ref_pkts_s:,.0f} pkt/s on "
+        f"its benchmark CPU, and its full chain is slower still)")
     print(json.dumps({
         "metric": "rx_full_chain_packets_per_s_per_chip_vht_mcs7_500B",
         "value": round(pkts_s, 1),
