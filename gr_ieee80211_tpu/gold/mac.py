@@ -201,3 +201,93 @@ def ampdu_deaggregate(psdu: bytes, ht: bool = False) -> list[bytes]:
         pos += 4 + d.length
         pos += -pos % 4
     return out
+
+
+# ---------------------------------------------------------------------------
+# Frame parsing / pretty printing (mac80211header.pktParser:833 parity)
+# ---------------------------------------------------------------------------
+
+TYPE_NAMES = {0: "Management", 1: "Control", 2: "Data", 3: "Extension"}
+SUBTYPE_NAMES = {
+    (0, 8): "Beacon", (0, 13): "Action", (0, 14): "Action No Ack",
+    (1, 4): "Beamforming Report Poll", (1, 5): "VHT NDP Announcement",
+    (1, 8): "Block Ack Req", (1, 9): "Block Ack", (1, 11): "RTS",
+    (1, 12): "CTS", (1, 13): "ACK",
+    (2, 0): "Data", (2, 4): "Null", (2, 8): "QoS Data", (2, 12): "QoS Null",
+}
+
+
+@dataclasses.dataclass
+class FrameInfo:
+    ok: bool                      # FCS valid
+    ftype: int = 0
+    subtype: int = 0
+    to_ds: int = 0
+    from_ds: int = 0
+    retry: int = 0
+    protected: int = 0
+    duration: int = 0
+    addr1: str = ""
+    addr2: str = ""
+    addr3: str = ""
+    seq: int = 0
+    frag: int = 0
+    qos: int | None = None
+    body: bytes = b""
+
+    @property
+    def name(self) -> str:
+        return SUBTYPE_NAMES.get((self.ftype, self.subtype),
+                                 TYPE_NAMES.get(self.ftype, "?"))
+
+
+def _addr_str(b: bytes) -> str:
+    return ":".join(f"{x:02x}" for x in b)
+
+
+def parse_frame(mpdu: bytes) -> FrameInfo:
+    """Parse an MPDU header (+FCS check).  Control frames have shorter
+    headers; body excludes the 4-byte FCS."""
+    if len(mpdu) < 14:
+        return FrameInfo(False)
+    fc = mpdu[0] | (mpdu[1] << 8)
+    info = FrameInfo(
+        ok=fcs32(mpdu[:-4]) == mpdu[-4:],
+        ftype=(fc >> 2) & 3, subtype=(fc >> 4) & 0xF,
+        to_ds=(fc >> 8) & 1, from_ds=(fc >> 9) & 1,
+        retry=(fc >> 11) & 1, protected=(fc >> 14) & 1,
+        duration=mpdu[2] | (mpdu[3] << 8),
+        addr1=_addr_str(mpdu[4:10]))
+    if info.ftype == 1:           # control: a1 (+a2 for some subtypes)
+        if len(mpdu) >= 20:
+            info.addr2 = _addr_str(mpdu[10:16])
+        info.body = mpdu[16:-4] if len(mpdu) > 20 else b""
+        return info
+    if len(mpdu) < 28:
+        return dataclasses.replace(info, ok=False)
+    info.addr2 = _addr_str(mpdu[10:16])
+    info.addr3 = _addr_str(mpdu[16:22])
+    sc = mpdu[22] | (mpdu[23] << 8)
+    info.seq, info.frag = sc >> 4, sc & 0xF
+    o = 24
+    if info.ftype == 2 and info.subtype & 8:     # QoS data
+        info.qos = mpdu[24] | (mpdu[25] << 8)
+        o = 26
+    info.body = mpdu[o:-4]
+    return info
+
+
+def describe_frame(mpdu: bytes) -> str:
+    """One-line human description (the reference pktParser console role)."""
+    f = parse_frame(mpdu)
+    s = (f"{f.name} [{'ok' if f.ok else 'BAD FCS'}] len={len(mpdu)} "
+         f"a1={f.addr1}")
+    if f.addr2:
+        s += f" a2={f.addr2}"
+    if f.ftype != 1:
+        s += f" seq={f.seq}"
+    if f.qos is not None:
+        s += f" tid={f.qos & 0xF}"
+    if f.ftype == 0 and f.subtype == 14 and f.body[:1] == b"\x15":
+        s += " (VHT action: compressed beamforming)"
+    return s

@@ -200,3 +200,105 @@ def q_to_grid(q56: np.ndarray) -> np.ndarray:
     out = np.tile(np.eye(ntx, nsts, dtype=complex), (64, 1, 1))
     out[T.OCC_IDX_NL] = q56
     return out
+
+
+# ---------------------------------------------------------------------------
+# VHT compressed beamforming ACTION frame (9.6.22 / reference
+# mac80211header.genMgmtActVhtCompressBf:624-671, mgmtVhtActCompressBfParser
+# :688-730)
+# ---------------------------------------------------------------------------
+
+#: 20 MHz feedback subcarrier sets per grouping Ng (IEEE Table 9-79 subset
+#: used by the reference, C_VHT_BFFB_SCIDX_20)
+BFFB_SCIDX_20 = {
+    1: [-28, -27, -26, -25, -24, -23, -22, -20, -19, -18, -17, -16, -15,
+        -14, -13, -12, -11, -10, -9, -8, -6, -5, -4, -3, -2, -1,
+        1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+        20, 22, 23, 24, 25, 26, 27, 28],
+    2: [-28, -26, -24, -22, -20, -18, -16, -14, -12, -10, -8, -6, -4, -2,
+        -1, 1, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24, 26, 28],
+    4: [-28, -24, -20, -16, -12, -8, -4, -1, 1, 4, 8, 12, 16, 20, 24, 28],
+}
+
+#: map feedback tone index (-28..-1, 1..28) -> position in the 56-tone grid
+_TONE_POS = {t: (t + 28 if t < 0 else t + 27) for t in range(-28, 29) if t}
+
+
+def _snr_byte(snr_db: float) -> int:
+    """Reference quantization: 0.25 dB steps over [-10, 53.75]."""
+    k = int(round(np.clip((snr_db + 10.0) / 0.25, 0, 255)))
+    return (k - 128) & 0xFF
+
+
+def _snr_from_byte(b: int) -> float:
+    signed = b - 256 if b >= 128 else b
+    return (signed + 128) * 0.25 - 10.0
+
+
+def mgmt_vht_bf_body(v56: np.ndarray, snr_db, group: int = 1,
+                     codebook: int = 0, fb_type: int = 0,
+                     token: int = 0) -> bytes:
+    """VHT Compressed Beamforming action body (action value 0 + 3-byte VHT
+    MIMO control + per-column SNR + packed Givens angles + MU-exclusive
+    placeholder)."""
+    v56 = np.asarray(v56)
+    nsc, nr, nc = v56.shape
+    assert nsc == 56 and group in BFFB_SCIDX_20
+    gval = {1: 0, 2: 1, 4: 2}[group]
+    ctrl = ((nc - 1) | ((nr - 1) << 3) | (0 << 6) | (gval << 8)
+            | (codebook << 10) | (fb_type << 11) | (1 << 15) | (token << 18))
+    body = b"\x00" + ctrl.to_bytes(4, "little")[:3]
+    body += bytes(_snr_byte(s) for s in snr_db)
+    nb_phi, nb_psi = (9, 7) if codebook else (7, 5)
+    bits = []
+    for t in BFFB_SCIDX_20[group]:
+        values, types = givens_compress(v56[_TONE_POS[t]], codebook)
+        for v, ty in zip(values, types):
+            nb = nb_phi if ty == 0 else nb_psi
+            bits += [(v >> i) & 1 for i in range(nb)]
+    bits += [0] * (-len(bits) % 8)
+    from ..spec import tables as T
+    body += T.bits_to_bytes(np.array(bits, dtype=np.uint8))
+    mu_ex_items = (30 if group == 1 else 10) * nc   # reference :660-668
+    return body + b"\x00" * (mu_ex_items // 2)
+
+
+def parse_mgmt_vht_bf(body: bytes):
+    """Inverse of :func:`mgmt_vht_bf_body` -> dict with the control fields,
+    per-column SNRs and the recovered (56, nr, nc) V (non-fed tones take
+    the nearest fed tone, the reference's procVhtVIntpoV1 behavior)."""
+    assert body[0] == 0
+    ctrl = int.from_bytes(body[1:4], "little")
+    nc = (ctrl & 7) + 1
+    nr = ((ctrl >> 3) & 7) + 1
+    group = 2 ** ((ctrl >> 8) & 3)
+    codebook = (ctrl >> 10) & 1
+    fb_type = (ctrl >> 11) & 1
+    token = (ctrl >> 18) & 63
+    snrs = [_snr_from_byte(b) for b in body[4: 4 + nc]]
+    types = angle_order(nr, nc)
+    nb_phi, nb_psi = (9, 7) if codebook else (7, 5)
+    per_tone = sum(nb_phi if t == 0 else nb_psi for t in types)
+    sc = BFFB_SCIDX_20[group]
+    from ..spec import tables as T
+    nbytes = -(-per_tone * len(sc) // 8)
+    bits = T.bytes_to_bits(np.frombuffer(
+        body[4 + nc: 4 + nc + nbytes], np.uint8))
+    v_fed = {}
+    pos = 0
+    for t in sc:
+        values = []
+        for ty in types:
+            nb = nb_phi if ty == 0 else nb_psi
+            values.append(int(sum(int(bits[pos + i]) << i for i in range(nb))))
+            pos += nb
+        v_fed[t] = givens_decompress(values, types, nr, nc, codebook)
+    v56 = np.zeros((56, nr, nc), complex)
+    fed = np.array(sc)
+    for t in range(-28, 29):
+        if t == 0:
+            continue
+        src = fed[np.argmin(np.abs(fed - t))]
+        v56[_TONE_POS[t]] = v_fed[int(src)]
+    return {"nc": nc, "nr": nr, "group": group, "codebook": codebook,
+            "fb_type": fb_type, "token": token, "snr_db": snrs, "v56": v56}

@@ -58,3 +58,59 @@ def test_deaggregate_with_eof_padding():
     psdu = M.ampdu_aggregate_vht([mpdu])
     psdu += T.bits_to_bytes(T.VHT_EOF_BITS) * 3  # PHY EOF pad subframes
     assert M.ampdu_deaggregate(psdu) == [mpdu]
+
+
+def test_parse_frame_roundtrips():
+    from gr_ieee80211_tpu.gold import mac
+    payload = b"parser test payload"
+    q = mac.qos_data_frame(payload, "f4:69:d5:80:0f:a0", "00:c0:ca:b1:5b:e1",
+                           "f4:69:d5:80:0f:a0", 42)
+    f = mac.parse_frame(q)
+    assert f.ok and f.ftype == 2 and f.subtype == 8 and f.seq == 42
+    assert f.addr1 == "f4:69:d5:80:0f:a0" and f.addr2 == "00:c0:ca:b1:5b:e1"
+    assert f.body == payload and f.qos == 0
+    assert "QoS Data" in mac.describe_frame(q) and "ok" in mac.describe_frame(q)
+
+    d = mac.data_frame(payload, "f4:69:d5:80:0f:a0", "00:c0:ca:b1:5b:e1",
+                       "f4:69:d5:80:0f:a0", 7)
+    f = mac.parse_frame(d)
+    assert f.ok and f.subtype == 0 and f.qos is None and f.body == payload
+
+    ndp = mac.ndp_announcement("02:00:00:00:00:01", "02:00:00:00:00:02",
+                               5, [1, 2], [0, 0])
+    f = mac.parse_frame(ndp)
+    assert f.ok and f.ftype == 1 and f.subtype == 5
+    assert "NDP Announcement" in mac.describe_frame(ndp)
+
+    bad = q[:-1] + bytes([q[-1] ^ 1])
+    assert not mac.parse_frame(bad).ok
+
+
+def test_vht_bf_mgmt_frame_roundtrip():
+    """Full compressed-BF action frame: V56 -> body -> frame -> parse -> V56
+    (mac80211header genMgmtActVhtCompressBf/mgmtVhtActCompressBfParser)."""
+    import numpy as np
+    from gr_ieee80211_tpu.gold import mac, sounding
+    rng = np.random.default_rng(9)
+    v56 = np.empty((56, 2, 2), complex)
+    for k in range(56):
+        a = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        u, _, _ = np.linalg.svd(a)
+        v56[k] = u
+    for group, codebook in ((1, 0), (2, 1), (4, 0)):
+        body = sounding.mgmt_vht_bf_body(v56, [20.0, 17.5], group=group,
+                                         codebook=codebook, token=11)
+        frame = mac.action_no_ack("02:00:00:00:00:01", "02:00:00:00:00:02",
+                                  "02:00:00:00:00:01", 3, 21, body)
+        f = mac.parse_frame(frame)
+        assert f.ok and f.subtype == 14 and f.body[0] == 21
+        r = sounding.parse_mgmt_vht_bf(f.body[1:])
+        assert (r["nc"], r["nr"], r["group"], r["codebook"], r["token"]) == \
+            (2, 2, group, codebook, 11)
+        assert abs(r["snr_db"][0] - 20.0) < 0.25
+        # fed tones recover V up to the per-column phase convention
+        for t in sounding.BFFB_SCIDX_20[group][:8]:
+            k = sounding._TONE_POS[t]
+            dt = np.exp(1j * np.angle(v56[k][1, :]))
+            v_ref = v56[k] * np.conj(dt)[None, :]
+            assert np.abs(r["v56"][k] - v_ref).max() < (0.05 if codebook else 0.1)
