@@ -52,6 +52,10 @@ class RxStreamer(threading.Thread):
         self.n_blocks = 0
         self.n_packets = 0
         self.n_ok = 0
+        #: per-(fmt, mcs) [ok, total] counters — the reference decode
+        #: block's printed per-MCS tallies are its measurement API
+        #: (lib/decode_impl.cc:393-411); here they are a queryable dict
+        self.counters: dict[tuple, list[int]] = {}
         self._stop_evt = threading.Event()
 
     def stop(self, drain: bool = False, timeout: float = 60.0):
@@ -75,8 +79,11 @@ class RxStreamer(threading.Thread):
             if r.start >= self.block_len:
                 continue          # halo-owned: the next block decodes it
             self.n_packets += 1
+            c = self.counters.setdefault((r.fmt, r.mcs), [0, 0])
+            c[1] += 1
             if r.ok:
                 self.n_ok += 1
+                c[0] += 1
             r.start += t0         # absolute sample index in the stream
             if self.reporter is not None and r.ok:
                 self.reporter.report(r)
