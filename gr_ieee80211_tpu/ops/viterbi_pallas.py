@@ -62,13 +62,13 @@ def _branch_masks_in_kernel():
             for half, b_in in ((0, 0), (1, 1)) for parity in (0, 1)}
 
 
-def _acs_kernel(llr0_ref, llr1_ref, dec_lo_ref, dec_hi_ref, pm):
+def _acs_kernel(llr0_ref, llr1_ref, pm0_ref, dec_lo_ref, dec_hi_ref,
+                pm_out_ref, pm):
     tc = pl.program_id(1)
 
     @pl.when(tc == 0)
     def _():
-        row = jax.lax.broadcasted_iota(jnp.int32, (64, B_TILE), 0)
-        pm[:] = jnp.where(row == 0, 0.0, NEG)
+        pm[:] = pm0_ref[:]
 
     masks = _branch_masks_in_kernel()
     (a00, a10) = masks[(0, 0)]
@@ -101,20 +101,34 @@ def _acs_kernel(llr0_ref, llr1_ref, dec_lo_ref, dec_hi_ref, pm):
     p = jax.lax.fori_loop(0, T_CHUNK, step, pm[:])
     # renormalize once per chunk to keep f32 exact over 32k-step trellises
     pm[:] = p - jnp.max(p, axis=0, keepdims=True)
+    pm_out_ref[:] = pm[:]
+
+
+def state0_metrics(B: int) -> jnp.ndarray:
+    """(64, B) initial path metrics pinned to state 0 (packet start)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
+    return jnp.where(row == 0, 0.0, NEG).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def acs_sweep(llr0: jax.Array, llr1: jax.Array, interpret: bool = False):
+def acs_sweep(llr0: jax.Array, llr1: jax.Array, pm0: jax.Array | None = None,
+              interpret: bool = False):
     """Forward ACS over the whole trellis.
 
-    llr0, llr1: (T, B) float32 with T % T_CHUNK == 0 and B % 128 == 0.
-    Returns decisions (T, 64, B) int8 (1 = odd predecessor won).
+    llr0, llr1: (T, B) float32 with T % T_CHUNK == 0 and B % 128 == 0;
+    pm0: (64, B) initial path metrics (default: pinned to state 0).
+    Returns (dec_lo, dec_hi) (T, 32, B) int8 (1 = odd predecessor won) and
+    the final path metrics (64, B).
     """
     n_steps, B = llr0.shape
     assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
+    if pm0 is None:
+        pm0 = state0_metrics(B)
     grid = (B // B_TILE, n_steps // T_CHUNK)
     spec32 = pl.BlockSpec((T_CHUNK, 32, B_TILE), lambda bt, tc: (tc, 0, bt),
                           memory_space=pltpu.VMEM)
+    spec_pm = pl.BlockSpec((64, B_TILE), lambda bt, tc: (0, bt),
+                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _acs_kernel,
         grid=grid,
@@ -123,33 +137,36 @@ def acs_sweep(llr0: jax.Array, llr1: jax.Array, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
                          memory_space=pltpu.VMEM),
+            spec_pm,
         ],
-        out_specs=(spec32, spec32),
+        out_specs=(spec32, spec32, spec_pm),
         out_shape=(jax.ShapeDtypeStruct((n_steps, 32, B), jnp.int8),
-                   jax.ShapeDtypeStruct((n_steps, 32, B), jnp.int8)),
+                   jax.ShapeDtypeStruct((n_steps, 32, B), jnp.int8),
+                   jax.ShapeDtypeStruct((64, B), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
         interpret=interpret,
-    )(llr0, llr1)
+    )(llr0, llr1, pm0)
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _traceback_kernel(dec_lo_ref, dec_hi_ref, bits_ref, mask):
+def _traceback_kernel(dec_lo_ref, dec_hi_ref, mask0_ref, bits_ref, mask):
     """Backward survivor walk, one T_CHUNK block per grid step.
 
     The grid's T axis is index-mapped in REVERSE (last chunk first); the
-    survivor one-hot mask (64, B_TILE) persists in scratch across chunks.
-    Same gather-free formulation as the XLA ``_traceback``: fold the two
-    halves of the masked decision vector to the predecessor one-hot.
+    survivor one-hot mask (64, B_TILE) persists in scratch across chunks,
+    seeded from ``mask0`` (state 0 for tail-terminated packets, argmax of
+    the final path metrics for mid-stream segments).  Same gather-free
+    formulation as the XLA ``_traceback``: fold the two halves of the
+    masked decision vector to the predecessor one-hot.
     """
     tc = pl.program_id(1)
 
     @pl.when(tc == 0)
     def _():
-        row = jax.lax.broadcasted_iota(jnp.int32, (64, B_TILE), 0)
-        mask[:] = (row == 0).astype(jnp.float32)
+        mask[:] = mask0_ref[:]
 
     def step(i, m):
         t = T_CHUNK - 1 - i
@@ -164,12 +181,22 @@ def _traceback_kernel(dec_lo_ref, dec_hi_ref, bits_ref, mask):
     mask[:] = jax.lax.fori_loop(0, T_CHUNK, step, mask[:])
 
 
+def state0_mask(B: int) -> jnp.ndarray:
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
+    return (row == 0).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def traceback_sweep(dec_lo: jax.Array, dec_hi: jax.Array,
+                    mask0: jax.Array | None = None,
                     interpret: bool = False):
-    """(T, 32, B) int8 decision halves -> (T, B) float32 bits (pre-trim)."""
+    """(T, 32, B) int8 decision halves -> (T, B) float32 bits (pre-trim).
+
+    mask0: (64, B) one-hot survivor start (default: state 0)."""
     n_steps, _, B = dec_lo.shape
     assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
+    if mask0 is None:
+        mask0 = state0_mask(B)
     n_tc = n_steps // T_CHUNK
     grid = (B // B_TILE, n_tc)
     spec32 = pl.BlockSpec((T_CHUNK, 32, B_TILE),
@@ -178,14 +205,16 @@ def traceback_sweep(dec_lo: jax.Array, dec_hi: jax.Array,
     return pl.pallas_call(
         _traceback_kernel,
         grid=grid,
-        in_specs=[spec32, spec32],
+        in_specs=[spec32, spec32,
+                  pl.BlockSpec((64, B_TILE), lambda bt, tc: (0, bt),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((T_CHUNK, B_TILE),
                                lambda bt, tc: (n_tc - 1 - tc, bt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.float32),
         scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
         interpret=interpret,
-    )(dec_lo, dec_hi)
+    )(dec_lo, dec_hi, mask0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps_out",))
@@ -224,19 +253,81 @@ def _traceback(decisions: jax.Array, n_steps_out: int):
     return bits_rev[::-1].transpose(1, 0)[:, :n_steps_out]
 
 
-def viterbi_decode_pallas(llr_pairs: jax.Array) -> jax.Array:
+def viterbi_decode_pallas(llr_pairs: jax.Array,
+                          segmented: bool = False) -> jax.Array:
     """Drop-in for ops.viterbi.viterbi_decode (traceback from state 0).
 
     llr_pairs: (B, T, 2) float32 -> (B, T) uint8.  Pads T to a T_CHUNK
     multiple and B to a 128 multiple internally.
+
+    segmented=True splits each trellis into overlapped ~1k-step segments
+    decoded as extra batch rows (see _viterbi_decode_segmented): bit-
+    identical at working SNR, ~4x lower per-packet latency and ~T/1k-fold
+    smaller sequential span for multi-core scaling, but ~20% MORE total
+    work — on this single-core chip the monolithic sweep has the higher
+    throughput, so it stays the default.
     """
     B, n_steps, _ = llr_pairs.shape
+    interp = not _on_tpu()
+    if segmented:
+        return _viterbi_decode_segmented(llr_pairs, interpret=interp)
     Tp = -(-n_steps // T_CHUNK) * T_CHUNK
     Bp = -(-B // B_TILE) * B_TILE
     x = jnp.pad(llr_pairs, ((0, Bp - B), (0, Tp - n_steps), (0, 0)))
     llr0 = x[:, :, 0].transpose(1, 0)
     llr1 = x[:, :, 1].transpose(1, 0)
-    interp = not _on_tpu()
-    dec_lo, dec_hi = acs_sweep(llr0, llr1, interpret=interp)
+    dec_lo, dec_hi, _ = acs_sweep(llr0, llr1, interpret=interp)
     bits = traceback_sweep(dec_lo, dec_hi, interpret=interp)
     return bits.transpose(1, 0)[:B, :n_steps].astype(jnp.uint8)
+
+
+#: segmented decoding: overlap-save over the TRELLIS.  Each packet's trellis
+#: splits into S segments decoded as extra batch rows — the sequential loop
+#: shrinks from T to K + 2*SEG_OVERLAP steps.  A 96-step (16 constraint
+#: lengths) warmup from uniform metrics converges the survivor tree, so
+#: segment interiors decode identically to the monolithic sweep; traceback
+#: seeds from the argmax state at the segment tail.  This is the "standard
+#: windowed" decoding the reference's own measurement report recommends
+#: over its full-packet traceback (Measurement_Report.pdf section 1).
+SEG_OVERLAP = 96
+SEG_TARGET_K = 1024
+
+
+
+def _viterbi_decode_segmented(llr_pairs: jax.Array,
+                              interpret: bool = False) -> jax.Array:
+    B, n_steps, _ = llr_pairs.shape
+    W = SEG_OVERLAP
+    S = max(2, -(-n_steps // SEG_TARGET_K))
+    K = -(-n_steps // S)
+    seg_t = -(-(K + 2 * W) // T_CHUNK) * T_CHUNK
+    Bp = -(-B // B_TILE) * B_TILE
+    # segment s>0 covers original steps [s*K, (s+1)*K) with its ACS window
+    # starting W steps early (warmup from uniform metrics); segment 0 keeps
+    # the exact state-0 pin and starts at step 0 with no warmup.  All
+    # windows are seg_t long; the trellis is zero-LLR padded at the back.
+    starts = np.maximum(np.arange(S) * K - W, 0)
+    offs = np.arange(S) * K - starts                    # 0 for s=0, W after
+    pad_back = int(starts[-1]) + seg_t - n_steps
+    x = jnp.pad(llr_pairs, ((0, Bp - B), (0, pad_back), (0, 0)))
+    win = starts[:, None] + np.arange(seg_t)[None, :]   # (S, seg_t)
+    l0s = x[:, :, 0][:, win]                            # (Bp, S, seg_t)
+    l1s = x[:, :, 1][:, win]
+    # expanded batch, segment-major so B_TILE blocks never mix segments
+    llr0e = l0s.transpose(2, 1, 0).reshape(seg_t, S * Bp)
+    llr1e = l1s.transpose(2, 1, 0).reshape(seg_t, S * Bp)
+    pm0 = jnp.concatenate(
+        [state0_metrics(Bp), jnp.zeros((64, (S - 1) * Bp), jnp.float32)],
+        axis=1)
+    dec_lo, dec_hi, pm_f = acs_sweep(llr0e, llr1e, pm0, interpret=interpret)
+    # traceback from the ML end state of each window (for the last, tail
+    # segment this is state 0 via the zero tail bits at working SNR)
+    best = jnp.argmax(pm_f, axis=0)                     # (S*Bp,)
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, S * Bp), 0)
+    mask0 = (row == best[None, :]).astype(jnp.float32)
+    bits = traceback_sweep(dec_lo, dec_hi, mask0,
+                           interpret=interpret)        # (seg_t, S*Bp)
+    bits = bits.reshape(seg_t, S, Bp)
+    kept = [bits[offs[s]: offs[s] + K, s] for s in range(S)]  # (K, Bp) each
+    out = jnp.stack(kept, axis=0).transpose(2, 0, 1).reshape(Bp, S * K)
+    return out[:B, :n_steps].astype(jnp.uint8)

@@ -127,3 +127,23 @@ def test_viterbi_tables_consistent_with_encoder():
         assert (o >> 1) & 1 == coded[2 * t]
         assert o & 1 == coded[2 * t + 1]
         s = nxt[s, b]
+
+
+def test_viterbi_segmented_matches_monolithic():
+    """Opt-in segmented (windowed) decode == monolithic at working SNR."""
+    import jax.numpy as jnp
+    from gr_ieee80211_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+    from gr_ieee80211_tpu.gold import bits as GB
+    rng = np.random.default_rng(5)
+    B_, T_ = 4, 2200
+    msg = rng.integers(0, 2, (B_, T_)).astype(np.uint8)
+    msg[:, -6:] = 0
+    llr = np.empty((B_, T_, 2), np.float32)
+    for i in range(B_):
+        enc = GB.bcc_encode(msg[i]).astype(np.float32)
+        llr[i] = (2 * enc - 1).reshape(-1, 2)
+    llr += rng.normal(size=llr.shape).astype(np.float32) * 0.4
+    mono = np.asarray(viterbi_decode_pallas(jnp.asarray(llr)))
+    seg = np.asarray(viterbi_decode_pallas(jnp.asarray(llr), segmented=True))
+    assert np.array_equal(mono, seg)
+    assert np.array_equal(mono, msg)
