@@ -1,22 +1,27 @@
-"""Pallas TPU kernel for the Viterbi add-compare-select sweep.
+"""Pallas TPU kernels for the Viterbi forward ACS sweep and traceback.
 
-Layout: path metrics live in VMEM as (64 states, 128 packets) — states in
-sublanes, a 128-packet tile in lanes.  The de Bruijn predecessor structure
+Layout: path metrics live in VMEM as (64 states, B_TILE packets) — states in
+sublanes, a 1024-packet tile in lanes.  The de Bruijn predecessor structure
 (pred(s') = {2s', 2s'+1}) makes the per-step gather a contiguous-pair split:
 
-    a = pm[0::2]   (32, 128)   # even predecessors
-    b = pm[1::2]   (32, 128)   # odd predecessors
-    half_lo = max(a + bm_a0, b + bm_b0)    # next states  0..31 (in-bit 0)
-    half_hi = max(a + bm_a1, b + bm_b1)    # next states 32..63 (in-bit 1)
+    ev = pm.reshape(32, 2, B)[:, 0]   # even predecessors
+    od = pm.reshape(32, 2, B)[:, 1]   # odd predecessors
+    lo half (in-bit 0) = max(ev + bm, od + q)
+    hi half (in-bit 1) = max(ev + q,  od + bm)
 
-Branch metrics are 0/1-masked sums of the two per-packet LLR lane vectors, so
-one trellis step is ~16 VPU ops on (32, 128) tiles with two stride-2 sublane
-reads and no lane shuffles at all.  The grid walks (batch tiles, T chunks)
-with T innermost; pm persists in scratch across T chunks.  Decisions stream
-out as (T, 64, B) int8 for the (XLA) traceback scan.
+where bm = a00*l0 + a10*l1 and q = (l0+l1) - bm — the branch-metric
+complement symmetry (flipping predecessor parity or the input bit flips
+both coded output bits) cuts one trellis step to ~12 VPU ops with no lane
+shuffles or gathers.  The grid walks (batch tiles, T chunks) with T
+innermost; metrics persist in scratch across T chunks.  Decisions stream
+out as two (T, 32, B) int8 planes for the traceback kernel, which walks the
+grid's T axis in REVERSE carrying the survivor one-hot mask in scratch
+(gather-free: fold the two masked decision halves to the predecessor
+one-hot, ~8 VPU ops per step).
 
-Replaces the pure-XLA scan in ``ops.viterbi`` on TPU (~an order of magnitude
-faster); the XLA path remains as the interpret/CPU fallback and oracle.
+The pure-XLA implementation in ``ops.viterbi`` remains the oracle and the
+path used for the short SIG-field trellises; these kernels run in interpret
+mode on CPU.
 """
 from __future__ import annotations
 
@@ -158,9 +163,9 @@ def _traceback_kernel(dec_lo_ref, dec_hi_ref, mask0_ref, bits_ref, mask):
     The grid's T axis is index-mapped in REVERSE (last chunk first); the
     survivor one-hot mask (64, B_TILE) persists in scratch across chunks,
     seeded from ``mask0`` (state 0 for tail-terminated packets, argmax of
-    the final path metrics for mid-stream segments).  Same gather-free
-    formulation as the XLA ``_traceback``: fold the two halves of the
-    masked decision vector to the predecessor one-hot.
+    the final path metrics for mid-stream segments).  Gather-free: fold the
+    two masked decision halves to the predecessor one-hot (pred = 2s mod 64,
+    +1 where the odd predecessor won).
     """
     tc = pl.program_id(1)
 
@@ -215,42 +220,6 @@ def traceback_sweep(dec_lo: jax.Array, dec_hi: jax.Array,
         scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
         interpret=interpret,
     )(dec_lo, dec_hi, mask0)
-
-
-@functools.partial(jax.jit, static_argnames=("n_steps_out",))
-def _traceback(decisions: jax.Array, n_steps_out: int):
-    """decisions (T, 64, B) int8 -> bits (B, n_steps_out) uint8.
-
-    Gather-free traceback: the survivor state is carried as a one-hot
-    (64, B) mask.  One step is
-
-        bit     = any(mask[32:])                  # current state's MSB
-        v0, v1  = mask*(1-dec), mask*dec          # chosen predecessor parity
-        fold*   = v*[ :32] + v*[32: ]             # s and s+32 both map to 2s%64
-        mask'   = interleave(fold0, fold1)        # pred = 2s%64 (+1 if dec)
-
-    i.e. ~8 VPU ops on (64, B) tiles per step and zero gathers, so the
-    backward pass runs at the same speed class as the forward ACS kernel.
-
-    Starts from state 0 (valid for tail-terminated / zero-padded trellises:
-    padding steps keep the state-0 path with ties broken to the even
-    predecessor)."""
-    n_steps, _, B = decisions.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
-    mask0 = (row == 0).astype(jnp.float32)
-
-    def back(mask, dec_t):
-        d = dec_t.astype(jnp.float32)
-        bit = jnp.sum(mask[32:], axis=0)
-        v0 = mask * (1.0 - d)
-        v1 = mask * d
-        f0 = v0[:32] + v0[32:]
-        f1 = v1[:32] + v1[32:]
-        nxt = jnp.stack([f0, f1], axis=1).reshape(64, B)
-        return nxt, bit.astype(jnp.uint8)
-
-    _, bits_rev = jax.lax.scan(back, mask0, decisions[::-1], unroll=8)
-    return bits_rev[::-1].transpose(1, 0)[:, :n_steps_out]
 
 
 def viterbi_decode_pallas(llr_pairs: jax.Array,
