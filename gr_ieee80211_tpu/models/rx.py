@@ -62,6 +62,7 @@ class RxResult:
     mpdus: list = dataclasses.field(default_factory=list)
     is_ndp: bool = False
     ndp_chan: np.ndarray | None = None
+    trig: int = 0        #: trigger (packet-start) sample index
 
 
 # ---------------------------------------------------------------------------
@@ -347,35 +348,49 @@ class RxEngine:
             meta.append(("data", cfg))
 
         results: list[RxResult] = [None] * len(ltf_idx)
-        for cfg, idxs in buckets.items():
-            sel = np.asarray(idxs, dtype=np.int32)
-            out = _payload_core(cfg, dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
-                                jnp.asarray(cfo[sel]), nrx=self.nrx)
-            psdu = np.asarray(out["psdu"])
-            for j, i in enumerate(idxs):
-                r = RxResult(False, cfg.fmt, cfg.mcs, cfg.nss,
-                             int(ltf_idx[i]), float(cfo[i]))
-                pb = psdu[j].tobytes()
-                r.psdu = pb
-                if cfg.fmt == Fmt.VHT or (cfg.fmt == Fmt.HT and cfg.ampdu):
-                    r.mpdus = MAC.ampdu_deaggregate(pb, ht=cfg.fmt == Fmt.HT)
-                    r.ok = len(r.mpdus) > 0
-                else:
-                    from ..gold.bits import fcs_ok
-                    r.ok = fcs_ok(pb)
-                    r.mpdus = [pb] if r.ok else []
-                results[i] = r
+        for cfg, all_idxs in buckets.items():
+            # cap the bucket batch so the Viterbi decision planes
+            # (n_trellis x 64 x B int8 x 2) stay within ~2 GB of HBM
+            # (an MCS0 4095 B packet has a 32k-step trellis)
+            max_b = max(128, -(-(1 << 31) // (cfg.n_trellis * 64)) // 128 * 128)
+            for c0 in range(0, len(all_idxs), max_b):
+                idxs = all_idxs[c0: c0 + max_b]
+                self._decode_bucket(dev, cfg, idxs, ltf_idx, cfo, trigs,
+                                    results)
         for i, mi in enumerate(meta):
             if mi is not None and mi[0] == "ndp":
                 r = RxResult(True, Fmt.VHT, 0, mi[1], int(ltf_idx[i]),
-                             float(cfo[i]), is_ndp=True)
+                             float(cfo[i]), is_ndp=True,
+                             trig=int(trigs[i]))
                 r.ndp_chan = self._ndp_chan(dev, int(ltf_idx[i]), float(cfo[i]),
                                             mi[1])
                 results[i] = r
-        self._process_mu(dev, ltf_idx, cfo, meta, results, stream.shape[1])
+        self._process_mu(dev, ltf_idx, cfo, trigs, meta, results,
+                         stream.shape[1])
         return [r for r in results if r is not None]
 
-    def _process_mu(self, dev, ltf_idx, cfo, meta, results, n_stream):
+    def _decode_bucket(self, dev, cfg: PhyConfig, idxs, ltf_idx, cfo, trigs,
+                       results):
+        sel = np.asarray(idxs, dtype=np.int32)
+        out = _payload_core(cfg, dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
+                            jnp.asarray(cfo[sel]), nrx=self.nrx)
+        psdu = np.asarray(out["psdu"])
+        for j, i in enumerate(idxs):
+            r = RxResult(False, cfg.fmt, cfg.mcs, cfg.nss,
+                         int(ltf_idx[i]), float(cfo[i]),
+                         trig=int(trigs[i]))
+            pb = psdu[j].tobytes()
+            r.psdu = pb
+            if cfg.fmt == Fmt.VHT or (cfg.fmt == Fmt.HT and cfg.ampdu):
+                r.mpdus = MAC.ampdu_deaggregate(pb, ht=cfg.fmt == Fmt.HT)
+                r.ok = len(r.mpdus) > 0
+            else:
+                from ..gold.bits import fcs_ok
+                r.ok = fcs_ok(pb)
+                r.mpdus = [pb] if r.ok else []
+            results[i] = r
+
+    def _process_mu(self, dev, ltf_idx, cfo, trigs, meta, results, n_stream):
         """Batched MU-STA decode: SIG-B pass per nsts-group, then payload
         buckets per (mcs, len, nsym)."""
         groups: dict[tuple, list[int]] = {}
@@ -419,7 +434,8 @@ class RxEngine:
                     if not np.array_equal(service[j, 8:16], crc):
                         continue
                     r = RxResult(False, Fmt.VHT, cfg.mcs, cfg.nss,
-                                 int(ltf_idx[i]), float(cfo[i]))
+                                 int(ltf_idx[i]), float(cfo[i]),
+                                 trig=int(trigs[i]))
                     r.psdu = psdu[j].tobytes()
                     r.mpdus = MAC.ampdu_deaggregate(r.psdu)
                     r.ok = len(r.mpdus) > 0

@@ -73,11 +73,26 @@ class RxStreamer(threading.Thread):
                 time.sleep(self.poll_s)
         self._stop_evt.set()
 
+    #: left-context samples prepended to every block so a plateau straddling
+    #: the previous boundary is not re-detected as a fresh edge start (same
+    #: fix as parallel.mesh.rx_chain_sp's LH halo); must exceed the STF span
+    LCTX = 256
+
     def _process_block(self, block: np.ndarray, t0: int):
-        res = self.engine.process(block)
+        view = np.concatenate([self._lctx, block])
+        first = not self._saw_block
+        self._saw_block = True
+        self._lctx = block[self.block_len - self.LCTX: self.block_len]
+        res = self.engine.process(view)
+        lo = 0 if first else self.LCTX   # block 0 owns its zero left pad too
         for r in res:
-            if r.start >= self.block_len:
-                continue          # halo-owned: the next block decodes it
+            # ownership by the TRIGGER index: packets triggering in the left
+            # context belong to the previous block, packets triggering in
+            # the right halo to the next
+            if not (lo <= r.trig < self.LCTX + self.block_len):
+                continue
+            r.trig -= self.LCTX
+            r.start -= self.LCTX
             self.n_packets += 1
             c = self.counters.setdefault((r.fmt, r.mcs), [0, 0])
             c[1] += 1
@@ -85,6 +100,7 @@ class RxStreamer(threading.Thread):
                 self.n_ok += 1
                 c[0] += 1
             r.start += t0         # absolute sample index in the stream
+            r.trig += t0
             if self.reporter is not None and r.ok:
                 self.reporter.report(r)
             if self.on_result is not None:
@@ -93,6 +109,8 @@ class RxStreamer(threading.Thread):
     def run(self):
         t0 = 0
         self.error = None
+        self._lctx = np.zeros(self.LCTX, np.complex64)
+        self._saw_block = False
         try:
             while not self._stop_evt.is_set():
                 block = self.ring.read_block(self.block_len, self.halo)

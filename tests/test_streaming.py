@@ -96,3 +96,40 @@ def test_full_stream_loopback_mac_to_mac():
     for fmt, mcs, mpdu in mpdus:
         assert got.get((fmt, mcs)) == mpdu, (fmt, mcs, streamer.n_packets)
     ring.close()
+
+
+def test_block_boundary_packet_owned_by_trigger():
+    """A packet triggering just before the block edge (LTF past it) must be
+    decoded exactly once — ownership follows the trigger, not the LTF."""
+    from gr_ieee80211_tpu.gold import tx, channel
+    from gr_ieee80211_tpu.spec.params import PhyConfig, Fmt
+
+    rng = np.random.default_rng(3)
+    mpdu = mac.qos_data_frame(b"edge case " * 6, "02:00:00:00:00:01",
+                              "02:00:00:00:00:02", "02:00:00:00:00:01", 9)
+    am = mac.ampdu_aggregate_vht([mpdu])
+    cfg = PhyConfig(Fmt.VHT, 4, 1, len(am), ampdu=True)
+    wave = tx.tx_waveform(cfg, am, group_id=0, partial_aid=0)[0]
+    block = 8192
+    stream = np.zeros(3 * block, np.complex64)
+    # trigger fires ~40 samples before the waveform start; place the start
+    # 50 samples before the boundary so trig < block <= ltf_idx
+    stream[block - 50: block - 50 + len(wave)] = wave
+    stream[300: 300 + len(wave)] = wave          # control packet, block 0
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.awgn(stream[None], rms / 10 ** (32 / 20), rng)[0]
+
+    ring = NAT.IqRing(1 << 16)
+    got = []
+    streamer = RxStreamer(ring, RxEngine(nrx=1), block_len=block, halo=4096,
+                          on_result=lambda r: got.append(r))
+    streamer.start()
+    ring.write(stream)
+    streamer.stop(drain=True, timeout=300)
+    streamer.join(timeout=300)
+    assert streamer.error is None, streamer.error
+    ok = [r for r in got if r.ok and r.mpdus and r.mpdus[0] == mpdu]
+    assert len(ok) == 2, [(r.trig, r.start, r.ok) for r in got]
+    edge = [r for r in ok if r.trig > block - 200]
+    assert len(edge) == 1 and edge[0].trig < block <= edge[0].start
+    ring.close()
