@@ -109,3 +109,36 @@ def test_rx_chain_count_fused():
     n_ok, n_det = rx_chain_count(cfg, from_host(stream), nrx=1,
                                  mpdu_len=len(mpdu), max_pkts=8)
     assert int(n_det) == 5 and int(n_ok) == 5
+
+
+def test_rx_engine_multi_mpdu_ampdu():
+    """3-MPDU VHT A-MPDU: delimiter walk recovers every subframe."""
+    rng = np.random.default_rng(61)
+    mpdus = [mac.qos_data_frame(bytes(rng.integers(0, 256, 40 + 30 * k,
+                                                   dtype=np.uint8)),
+                                "02:00:00:00:00:01", "02:00:00:00:00:02",
+                                "02:00:00:00:00:01", k) for k in range(3)]
+    am = mac.ampdu_aggregate_vht(mpdus)
+    cfg = PhyConfig(Fmt.VHT, 5, 1, len(am), ampdu=True)
+    wave = gtx.tx_waveform(cfg, am, group_id=0, partial_aid=0)[0]
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.frame_stream(wave, 1.0, 400.0, num=2, gap=1000)
+    stream = channel.awgn(stream, rms / 10 ** (32 / 20), rng)
+    res = [r for r in RxEngine(nrx=1).process(stream) if r.ok]
+    assert len(res) == 2
+    assert all(r.mpdus == mpdus for r in res)
+
+
+def test_rx_engine_rx_diversity_1ss_2rx():
+    """1 spatial stream received on 2 antennas (MRC via the general ZF)."""
+    rng = np.random.default_rng(67)
+    mpdu, payload, cfg = _mk(rng, Fmt.VHT, 6, 1)
+    wave = gtx.tx_waveform(cfg, payload, group_id=0, partial_aid=0)
+    h = (rng.normal(size=(2, 1)) + 1j * rng.normal(size=(2, 1))) / np.sqrt(2)
+    stream = channel.frame_stream(wave, 1.0, 500.0, num=3, gap=1100)
+    stream = channel.mimo_channel(stream, h)
+    rms = np.sqrt(np.mean(np.abs(stream[np.abs(stream) > 0]) ** 2))
+    stream = channel.awgn(stream, rms / 10 ** (28 / 20), rng)
+    res = [r for r in RxEngine(nrx=2).process(stream)
+           if r.ok and r.mpdus and r.mpdus[0] == mpdu]
+    assert len(res) == 3
