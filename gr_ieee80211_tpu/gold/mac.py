@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-import zlib
 import numpy as np
 
 from ..spec import tables as T

@@ -14,7 +14,6 @@ in the workload map onto a JAX mesh:
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -22,9 +22,7 @@ reference can run unmodified against these servers.
 from __future__ import annotations
 
 import socket
-import struct
 import threading
-import queue
 import numpy as np
 
 from ..spec.params import Fmt, PhyConfig, MuConfig
