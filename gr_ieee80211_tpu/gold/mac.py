@@ -290,3 +290,37 @@ def describe_frame(mpdu: bytes) -> str:
     if f.ftype == 0 and f.subtype == 14 and f.body[:1] == b"\x15":
         s += " (VHT action: compressed beamforming)"
     return s
+
+
+MGMT_ELEMENT_NAMES = {0: "SSID", 1: "Supported Rates", 3: "DS Parameter",
+                      5: "TIM", 7: "Country", 32: "Power Constraint",
+                      45: "HT Capabilities", 61: "HT Operation",
+                      48: "RSN", 191: "VHT Capabilities",
+                      192: "VHT Operation", 221: "Vendor Specific"}
+
+
+def parse_mgmt_elements(body: bytes, skip_fixed: int = 12):
+    """Parse management-frame information elements.
+
+    body: frame body (for a beacon the first 12 bytes are timestamp +
+    interval + capabilities — skipped by default).  Returns a list of
+    (element_id, name, payload bytes); SSID decodes to str.  Mirrors
+    mac80211header.mgmtElementParser (/root/reference/tools/
+    mac80211header.py:733+).
+    """
+    out = []
+    i = skip_fixed
+    n = len(body)
+    while i + 2 <= n:
+        eid, ln = body[i], body[i + 1]
+        data = body[i + 2: i + 2 + ln]
+        if len(data) < ln:
+            break
+        if eid == 0:
+            try:
+                data = data.decode()
+            except UnicodeDecodeError:
+                pass
+        out.append((eid, MGMT_ELEMENT_NAMES.get(eid, f"Element {eid}"), data))
+        i += 2 + ln
+    return out

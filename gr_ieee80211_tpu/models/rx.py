@@ -304,8 +304,7 @@ class RxEngine:
         return dedup_triggers(cand)
 
     # -- full pipeline -----------------------------------------------------
-    def process(self, stream: np.ndarray, expect_cfg: PhyConfig | None = None
-                ) -> list[RxResult]:
+    def process(self, stream: np.ndarray) -> list[RxResult]:
         stream = np.atleast_2d(stream)
         dev = from_host(stream)
         trigs = self.detect(dev[0])

@@ -114,3 +114,40 @@ def test_vht_bf_mgmt_frame_roundtrip():
             dt = np.exp(1j * np.angle(v56[k][1, :]))
             v_ref = v56[k] * np.conj(dt)[None, :]
             assert np.abs(r["v56"][k] - v_ref).max() < (0.05 if codebook else 0.1)
+
+
+def test_beacon_capture_tx_rx_and_element_parse():
+    """The reference's captured beacon (examples/beacon) transmits at
+    L MCS0, decodes, and its elements parse (SSID, rates, DS param)."""
+    import numpy as np
+    from gr_ieee80211_tpu.gold import mac, tx, channel
+    from gr_ieee80211_tpu.spec.params import PhyConfig, Fmt
+    from gr_ieee80211_tpu.models.rx import RxEngine
+    blob = bytes.fromhex(
+        "80000000ffffffffffff244bfe6125ac244bfe6125acc0293e00f6ed6a0100006400"
+        "1111000e636c6f75645f61633836755f354701088c129824b048606c050402030000"
+        "074255532024011e28011e2c011e30011e34011e38011e3c011e40011e64011e6801"
+        "1e6c011e70011e74011e84011e88011e8c011e95011e99011e9d011ea1011ea5011e"
+        "2001002302110030140100000fac040100000fac040100000fac020c000b0500000c"
+        "000042020000460530000000002d1aef0117ffffffff0000000000000000000000000"
+        "00000000000003d16640500000000000000000000000000000000000000007f08040"
+        "0080000000040bf0cb269830faaff0000aaff0000c005016a000000c30402020202d"
+        "d31f832e4010101020100031444867f67c0f5fefe59231d42f65a24b75aed3b88070"
+        "45aed3b881204a8ac0000130101150100dd0500904c0417dd090010180200009c000"
+        "0dd180050f2020101840003a4000027a4000042435e0062322f00d13fd44d")
+    f = mac.parse_frame(blob)
+    assert f.ok and f.ftype == 0 and f.subtype == 8        # beacon, FCS ok
+    els = dict((name, data) for _, name, data in
+               mac.parse_mgmt_elements(f.body))
+    assert els["SSID"] == "cloud_ac86u_5G"
+    assert "Supported Rates" in els and "VHT Capabilities" in els
+    # through the PHY at legacy MCS0 (the reference txBeaconBin.grc config)
+    cfg = PhyConfig(Fmt.L, 0, 1, len(blob))
+    wave = tx.tx_waveform(cfg, blob)[0]
+    rng = np.random.default_rng(71)
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.awgn(channel.frame_stream(wave, 1.0, 300.0, gap=1200),
+                          rms / 10 ** (25 / 20), rng)
+    res = [r for r in RxEngine(nrx=1).process(stream) if r.ok]
+    assert len(res) == 1 and res[0].mpdus[0] == blob
+    assert mac.parse_frame(res[0].mpdus[0]).subtype == 8
