@@ -427,6 +427,11 @@ def _rx_ht(xs, lsig, htsig, rx: RxPacket) -> RxPacket:
     if nss > xs.shape[0]:
         return rx  # cannot separate more streams than antennas
     cfg = PhyConfig(Fmt.HT, htsig.mcs, nss, htsig.length, ampdu=htsig.ampdu)
+    # plausibility bound: the HT-SIG-implied air time must fit inside the
+    # L-SIG TXTIME budget (reference lib/demod_impl.cc:185-199 rejects
+    # CRC-valid HT-SIGs whose nSym overruns the spoofed L-SIG length)
+    if lsig.nsym * 80 < cfg.nsym * 80 + 160 + 80 + 80 * cfg.nltf:
+        return rx
     # layout after L-SIG: HT-SIG 160, HT-STF 80, LTFs
     ltf_start = 208 + 160 + 80
     data_start = ltf_start + 80 * cfg.nltf
@@ -485,7 +490,7 @@ def _rx_vht(xs, lsig, siga, rx: RxPacket, mu_pos) -> RxPacket:
     # infer APEP length from SIG-B; fall back to the L-SIG sample budget when
     # SIG-B looks implausible (reference plausibility bound)
     cfg = None
-    if 1 <= rx.sigb_len <= 4095:
+    if sigb.ok and 1 <= rx.sigb_len <= 4095:
         cand = PhyConfig(Fmt.VHT, siga.mcs, nss, rx.sigb_len, ampdu=True)
         if cand.nsym == nsym:
             cfg = cand
@@ -549,6 +554,9 @@ def _rx_vht_mu(xs, lsig, siga, rx: RxPacket, mu_pos: int) -> RxPacket:
         rx.ok = True
         rx.ndp_ltf_grids = grids
         rx.ndp_chan = h_all
+        return rx
+    if not sigb.ok or not (0 <= sigb.mcs <= 8) or not (1 <= sigb.length <= 4095):
+        rx.ok = False
         return rx
     cfg = PhyConfig(Fmt.VHT, sigb.mcs, nsts[mu_pos], max(sigb.length, 1),
                     ampdu=True, mu_nsym=nsym)

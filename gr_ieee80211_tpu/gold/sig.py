@@ -144,11 +144,11 @@ def parse_htsig(bits: np.ndarray) -> HtSigInfo:
     mcs = _bits_num(bits[0:7])
     if bits[7] != 0 or mcs > 15:        # 20 MHz, <=2SS only
         return HtSigInfo(False)
-    if bits[24] or bits[25] != 1:       # bw/sounding constraints as reference
-        pass
     length = _bits_num(bits[8:24])
     if bits[28] or bits[29] or bits[30]:  # STBC / LDPC unsupported
         return HtSigInfo(False)
+    if bits[32] or bits[33]:            # extension spatial streams unsupported
+        return HtSigInfo(False)         # (signalCheckHt, cloud80211phy.cc:744)
     return HtSigInfo(True, mcs, length, bool(bits[27]), bool(bits[31]))
 
 
@@ -193,10 +193,21 @@ class VhtSigBInfo:
 
 
 def parse_vhtsigb(bits: np.ndarray, mu: bool = False) -> VhtSigBInfo:
+    """Parse the 26 decoded VHT-SIG-B bits (20 MHz).
+
+    Structural validation: the 6 tail bits must decode to zero, and for SU
+    the 3 reserved bits (17..19) must be all-ones (21.3.8.3.6).  The CRC over
+    the 20-bit body is returned for the caller's SERVICE-field cross-check
+    (the reference does the same re-encode comparison, demod_impl.cc:449-505).
+    """
     bits = np.asarray(bits, dtype=np.uint8)
-    if mu:
-        body = bits[:20]
-        return VhtSigBInfo(True, _bits_num(bits[0:16]) * 4, _bits_num(bits[16:20]),
-                           T.crc8_bits(body))
     body = bits[:20]
-    return VhtSigBInfo(True, _bits_num(bits[0:17]) * 4, -1, T.crc8_bits(body))
+    crc = T.crc8_bits(body)
+    if bits[20:26].any():
+        return VhtSigBInfo(False, crc=crc)
+    if mu:
+        return VhtSigBInfo(True, _bits_num(bits[0:16]) * 4,
+                           _bits_num(bits[16:20]), crc)
+    if not (bits[17] and bits[18] and bits[19]):
+        return VhtSigBInfo(False, crc=crc)
+    return VhtSigBInfo(True, _bits_num(bits[0:17]) * 4, -1, crc)

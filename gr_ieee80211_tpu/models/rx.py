@@ -411,7 +411,8 @@ class RxEngine:
                 lsig = meta[i][2]
                 n_data = lsig.nsym * 80 - (160 + 80 + 80 * nltf + 80)
                 nsym = max(n_data // 80, 0)
-                if nsym == 0 or not (1 <= sigb.length <= 4095):
+                if (nsym == 0 or not sigb.ok or sigb.mcs > 8
+                        or not (1 <= sigb.length <= 4095)):
                     continue
                 if ltf_idx[i] + data_start + 80 * nsym > n_stream:
                     continue
@@ -467,8 +468,13 @@ class RxEngine:
         if htsig.ok:
             nss = htsig.mcs // 8 + 1
             if nss <= self.nrx:
-                return PhyConfig(Fmt.HT, htsig.mcs, nss, htsig.length,
-                                 ampdu=htsig.ampdu), None
+                cfg = PhyConfig(Fmt.HT, htsig.mcs, nss, htsig.length,
+                                ampdu=htsig.ampdu)
+                # L-SIG TXTIME plausibility bound: HT-SIG-implied air time
+                # must fit the L-SIG sample budget (demod_impl.cc:185-199)
+                if lsig.nsym * 80 < cfg.nsym * 80 + 160 + 80 + 80 * cfg.nltf:
+                    return None, None
+                return cfg, None
             return None, None
         if lsig.ok:
             return PhyConfig(Fmt.L, 0, 1, lsig.length), None

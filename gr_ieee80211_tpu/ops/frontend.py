@@ -53,6 +53,18 @@ def _movsum_cf(x: CF, w: int) -> CF:
     return CF(_movsum(x.re, w), _movsum(x.im, w))
 
 
+#: relative power floor for the plateau metric: windows more than 30 dB
+#: below the stream's average windowed power cannot trigger.  Without it,
+#: exactly-silent stream regions divide two cumsum float residues and the
+#: junk ratio forms spurious plateaus (real streams always carry noise, but
+#: file replays and unit fixtures may be literal zeros).
+_POWER_FLOOR_REL = 1e-3
+
+
+def _floor(p: jax.Array) -> jax.Array:
+    return jnp.maximum(_POWER_FLOOR_REL * jnp.mean(p), 1e-12)
+
+
 @jax.jit
 def stf_metrics(x: CF):
     """x (n,) -> (metric m, lag-16 autocorr CF), aligned to x[0]."""
@@ -61,7 +73,7 @@ def stf_metrics(x: CF):
     p = _movsum(x.abs2(), 64)
     n = min(c.shape[-1], p.shape[-1])
     c = c[..., :n]
-    m = c.abs() / jnp.maximum(p[..., :n], 1e-12)
+    m = c.abs() / jnp.maximum(p[..., :n], _floor(p))
     return m, c
 
 
@@ -112,7 +124,7 @@ def stf_metric_strided(x: CF) -> jax.Array:
     p = _movsum(_chunk4_rows(rows.abs2()), 64 // s)
     k = DETECT_ROW // s
     m = (jnp.sqrt(cre[:, :k] ** 2 + cim[:, :k] ** 2)
-         / jnp.maximum(p[:, :k], 1e-12))
+         / jnp.maximum(p[:, :k], _floor(p)))
     return m.reshape(-1)[: n // s]
 
 

@@ -157,6 +157,199 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+# ---------------------------------------------------------------------------
+# Radix-4 kernels: two trellis steps per sequential iteration
+# ---------------------------------------------------------------------------
+#
+# The sequential fori_loop pays a fixed issue overhead per iteration that
+# rivals the ~12-op ACS body, so fusing two de Bruijn steps into one
+# iteration nearly halves the sweep's wall time.  For the composed
+# transition p -> s' -> s'' with input bits (b0, b1):
+#
+#     s'' = (b1<<5) | (b0<<4) | j,   predecessors p = 4j + c, c in 0..3,
+#     intermediate s' = (b0<<5) | (2j + (c>>1)).
+#
+# Both branch-metric pairs collapse onto four shared (16, B) vectors each via
+# the output-complement symmetry (flipping an input/parity bit flips both
+# coded bits):
+#
+#     step t:   o0 = b0^A^c1^c0, o1 = b0^Bm^c0,  A = j2^j1, Bm = j3^j2^j1
+#     step t+1: o0 = b1^C^c1,    o1 = b1^b0^D^c1, C = j3^j2^j0, D = j3^j2
+#
+# so bm1(c,b0) = u_{e} + v_{f} with e = b0^c1^c0, f = b0^c0 and
+# bm2(c,b0,b1) = w_{g} + x_{h} with g = b1^c1, h = b1^b0^c1, where
+# u0 = A*l0, u1 = l0-u0, etc.  The 4-way max per new state is reduced
+# lexicographically ((c>>1) first, then c&1, ties prefer smaller) which
+# composes to EXACTLY the radix-2 kernel's per-step tie rule, so decoded
+# bits are bit-identical.  Decisions pack into ONE (T/2, 64, B) int8 plane
+# (values 0..3) — half the radix-2 kernels' store/read volume.
+
+
+def _r4_masks():
+    """(16, 1) float32 masks A, Bm, C, D from iota (see module comment)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    bit = lambda k: (j >> k) & 1
+    A = (bit(2) ^ bit(1)).astype(jnp.float32)
+    Bm = (bit(3) ^ bit(2) ^ bit(1)).astype(jnp.float32)
+    C = (bit(3) ^ bit(2) ^ bit(0)).astype(jnp.float32)
+    D = (bit(3) ^ bit(2)).astype(jnp.float32)
+    return A, Bm, C, D
+
+
+def _acs_kernel_r4(llr0_ref, llr1_ref, pm0_ref, dec_ref, pm_out_ref, pm):
+    tc = pl.program_id(1)
+
+    @pl.when(tc == 0)
+    def _():
+        pm[:] = pm0_ref[:]
+
+    A, Bm, C, D = _r4_masks()
+
+    def step(i, p):
+        t = 2 * i
+        l0 = llr0_ref[t, :][None, :]
+        l1 = llr1_ref[t, :][None, :]
+        m0 = llr0_ref[t + 1, :][None, :]
+        m1 = llr1_ref[t + 1, :][None, :]
+        u0 = A * l0
+        u1 = l0 - u0
+        v0 = Bm * l1
+        v1 = l1 - v0
+        w0 = C * m0
+        w1 = m0 - w0
+        x0 = D * m1
+        x1 = m1 - x0
+        # bm1[c][b0] with e = b0^c1^c0, f = b0^c0:
+        #   (e,f) for c=0: (b0,b0); c=1: (~b0,~b0); c=2: (~b0,b0); c=3: (b0,~b0)
+        bm1_c = [
+            (u0 + v0, u1 + v1),      # c=0: b0=0 -> (e,f)=(0,0); b0=1 -> (1,1)
+            (u1 + v1, u0 + v0),      # c=1
+            (u1 + v0, u0 + v1),      # c=2
+            (u0 + v1, u1 + v0),      # c=3
+        ]
+        # bm2[(c1, b0)][b1] with g = b1^c1, h = b1^b0^c1
+        bm2 = {
+            (0, 0): (w0 + x0, w1 + x1),
+            (0, 1): (w0 + x1, w1 + x0),
+            (1, 0): (w1 + x1, w0 + x0),
+            (1, 1): (w1 + x0, w0 + x1),
+        }
+        pr = p.reshape(16, 4, B_TILE)
+        pc = [pr[:, c, :] for c in range(4)]
+        new_q = []
+        dec_q = []
+        for b1 in (0, 1):
+            for b0 in (0, 1):
+                cand = [pc[c] + bm1_c[c][b0] + bm2[(c >> 1, b0)][b1]
+                        for c in range(4)]
+                m01 = jnp.maximum(cand[0], cand[1])
+                m23 = jnp.maximum(cand[2], cand[3])
+                # decision arithmetic in f32 (Mosaic supports neither i8
+                # vector arithmetic nor i1 selects), one cast at the store
+                d_hi = (m23 > m01).astype(jnp.float32)
+                d_lo = (d_hi * (cand[3] > cand[2]).astype(jnp.float32)
+                        + (1.0 - d_hi) * (cand[1] > cand[0]).astype(jnp.float32))
+                new_q.append(jnp.maximum(m01, m23))
+                dec_q.append((d_hi * 2.0 + d_lo).astype(jnp.int8))
+        dec_ref[i, :, :] = jnp.concatenate(dec_q, axis=0)
+        return jnp.concatenate(new_q, axis=0)
+
+    p = jax.lax.fori_loop(0, T_CHUNK // 2, step, pm[:])
+    pm[:] = p - jnp.max(p, axis=0, keepdims=True)
+    pm_out_ref[:] = pm[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def acs_sweep_r4(llr0: jax.Array, llr1: jax.Array,
+                 pm0: jax.Array | None = None, interpret: bool = False):
+    """Radix-4 forward ACS: (T, B) LLR pairs -> ((T/2, 64, B) int8 packed
+    decisions, (64, B) final path metrics).  T % T_CHUNK == 0, B % B_TILE == 0.
+    """
+    n_steps, B = llr0.shape
+    assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
+    if pm0 is None:
+        pm0 = state0_metrics(B)
+    grid = (B // B_TILE, n_steps // T_CHUNK)
+    spec_dec = pl.BlockSpec((T_CHUNK // 2, 64, B_TILE),
+                            lambda bt, tc: (tc, 0, bt),
+                            memory_space=pltpu.VMEM)
+    spec_pm = pl.BlockSpec((64, B_TILE), lambda bt, tc: (0, bt),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _acs_kernel_r4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
+                         memory_space=pltpu.VMEM),
+            spec_pm,
+        ],
+        out_specs=(spec_dec, spec_pm),
+        out_shape=(jax.ShapeDtypeStruct((n_steps // 2, 64, B), jnp.int8),
+                   jax.ShapeDtypeStruct((64, B), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
+        interpret=interpret,
+    )(llr0, llr1, pm0)
+
+
+def _traceback_kernel_r4(dec_ref, mask0_ref, bits_ref, mask):
+    """Radix-4 survivor walk: one packed (64, B) decision plane per 2 steps.
+
+    Emits bits as int8; b1 (later step) = mass of states 32..63, b0 = mass
+    of states with bit 4 set.  The mask folds to predecessors p = 4j + c
+    by quarter-selected sublane reduction (identity output order).
+    """
+    tc = pl.program_id(1)
+
+    @pl.when(tc == 0)
+    def _():
+        mask[:] = mask0_ref[:]
+
+    n_iter = T_CHUNK // 2
+
+    def step(i, m):
+        r = n_iter - 1 - i
+        dec = dec_ref[r, :, :].astype(jnp.int32)
+        b1 = jnp.sum(m[32:], axis=0)
+        b0 = jnp.sum(m[16:32], axis=0) + jnp.sum(m[48:], axis=0)
+        bits_ref[2 * r + 1, :] = b1.astype(jnp.int8)
+        bits_ref[2 * r, :] = b0.astype(jnp.int8)
+        sel = [(m * (dec == c).astype(jnp.float32))
+               .reshape(4, 16, B_TILE).sum(axis=0) for c in range(4)]
+        return jnp.stack(sel, axis=1).reshape(64, B_TILE)
+
+    mask[:] = jax.lax.fori_loop(0, n_iter, step, mask[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def traceback_sweep_r4(dec: jax.Array, mask0: jax.Array | None = None,
+                       interpret: bool = False):
+    """(T/2, 64, B) packed decisions -> (T, B) int8 bits (pre-trim)."""
+    n_half, _, B = dec.shape
+    n_steps = 2 * n_half
+    assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
+    if mask0 is None:
+        mask0 = state0_mask(B)
+    n_tc = n_steps // T_CHUNK
+    grid = (B // B_TILE, n_tc)
+    return pl.pallas_call(
+        _traceback_kernel_r4,
+        grid=grid,
+        in_specs=[pl.BlockSpec((T_CHUNK // 2, 64, B_TILE),
+                               lambda bt, tc: (n_tc - 1 - tc, 0, bt),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((64, B_TILE), lambda bt, tc: (0, bt),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T_CHUNK, B_TILE),
+                               lambda bt, tc: (n_tc - 1 - tc, bt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
+        interpret=interpret,
+    )(dec, mask0)
+
+
 def _traceback_kernel(dec_lo_ref, dec_hi_ref, mask0_ref, bits_ref, mask):
     """Backward survivor walk, one T_CHUNK block per grid step.
 
@@ -245,8 +438,8 @@ def viterbi_decode_pallas(llr_pairs: jax.Array,
     x = jnp.pad(llr_pairs, ((0, Bp - B), (0, Tp - n_steps), (0, 0)))
     llr0 = x[:, :, 0].transpose(1, 0)
     llr1 = x[:, :, 1].transpose(1, 0)
-    dec_lo, dec_hi, _ = acs_sweep(llr0, llr1, interpret=interp)
-    bits = traceback_sweep(dec_lo, dec_hi, interpret=interp)
+    dec, _ = acs_sweep_r4(llr0, llr1, interpret=interp)
+    bits = traceback_sweep_r4(dec, interpret=interp)
     return bits.transpose(1, 0)[:B, :n_steps].astype(jnp.uint8)
 
 
@@ -288,14 +481,13 @@ def _viterbi_decode_segmented(llr_pairs: jax.Array,
     pm0 = jnp.concatenate(
         [state0_metrics(Bp), jnp.zeros((64, (S - 1) * Bp), jnp.float32)],
         axis=1)
-    dec_lo, dec_hi, pm_f = acs_sweep(llr0e, llr1e, pm0, interpret=interpret)
+    dec, pm_f = acs_sweep_r4(llr0e, llr1e, pm0, interpret=interpret)
     # traceback from the ML end state of each window (for the last, tail
     # segment this is state 0 via the zero tail bits at working SNR)
     best = jnp.argmax(pm_f, axis=0)                     # (S*Bp,)
     row = jax.lax.broadcasted_iota(jnp.int32, (64, S * Bp), 0)
     mask0 = (row == best[None, :]).astype(jnp.float32)
-    bits = traceback_sweep(dec_lo, dec_hi, mask0,
-                           interpret=interpret)        # (seg_t, S*Bp)
+    bits = traceback_sweep_r4(dec, mask0, interpret=interpret)  # (seg_t, S*Bp)
     bits = bits.reshape(seg_t, S, Bp)
     kept = [bits[offs[s]: offs[s] + K, s] for s in range(S)]  # (K, Bp) each
     out = jnp.stack(kept, axis=0).transpose(2, 0, 1).reshape(Bp, S * K)

@@ -32,17 +32,24 @@ from .udp_phy import PhyRxReporter
 
 
 class RxStreamer(threading.Thread):
-    """Continuously decode an IqRing in overlap-save blocks.
+    """Continuously decode one or more IqRings in overlap-save blocks.
+
+    ``ring`` may be a single :class:`~.native.IqRing` or a list of one per
+    RX antenna (the rx2.grc role): blocks are pulled from all rings in
+    lockstep — a block is processed only when EVERY ring holds
+    block_len + halo samples, so the antennas stay sample-aligned (the
+    producers must feed them at the same rate, as USRP channels do).
 
     halo must cover the longest expected packet plus sync lookahead
     (MCS0 500 B VHT ~= 14k samples; default 16384).
     """
 
-    def __init__(self, ring: NAT.IqRing, engine, block_len: int = 1 << 19,
+    def __init__(self, ring, engine, block_len: int = 1 << 19,
                  halo: int = 16384, reporter: PhyRxReporter | None = None,
                  on_result=None, poll_s: float = 0.01):
         super().__init__(daemon=True)
-        self.ring = ring
+        self.rings = list(ring) if isinstance(ring, (list, tuple)) else [ring]
+        self.nrx = len(self.rings)
         self.engine = engine
         self.block_len = block_len
         self.halo = halo
@@ -58,18 +65,23 @@ class RxStreamer(threading.Thread):
         self.counters: dict[tuple, list[int]] = {}
         self._stop_evt = threading.Event()
 
+    @property
+    def ring(self) -> NAT.IqRing:
+        return self.rings[0]
+
     def stop(self, drain: bool = False, timeout: float = 60.0):
         if drain:
-            # keep topping the ring up with silence until every real sample
+            # keep topping the rings up with silence until every real sample
             # has been inside some block's private (non-halo) span
             deadline = time.time() + timeout
             while time.time() < deadline:
-                fill = self.ring.fill
+                fill = max(r.fill for r in self.rings)
                 if fill <= self.halo + 16:
                     break                      # only padding remains
-                need = self.block_len + self.halo + 16 - fill
-                if need > 0:
-                    self.ring.write(np.zeros(need, np.complex64))
+                for r in self.rings:
+                    need = self.block_len + self.halo + 16 - r.fill
+                    if need > 0:
+                        r.write(np.zeros(need, np.complex64))
                 time.sleep(self.poll_s)
         self._stop_evt.set()
 
@@ -79,10 +91,11 @@ class RxStreamer(threading.Thread):
     LCTX = 256
 
     def _process_block(self, block: np.ndarray, t0: int):
-        view = np.concatenate([self._lctx, block])
+        """block: (nrx, block_len + halo)."""
+        view = np.concatenate([self._lctx, block], axis=1)
         first = not self._saw_block
         self._saw_block = True
-        self._lctx = block[self.block_len - self.LCTX: self.block_len]
+        self._lctx = block[:, self.block_len - self.LCTX: self.block_len]
         res = self.engine.process(view)
         lo = 0 if first else self.LCTX   # block 0 owns its zero left pad too
         for r in res:
@@ -109,15 +122,21 @@ class RxStreamer(threading.Thread):
     def run(self):
         t0 = 0
         self.error = None
-        self._lctx = np.zeros(self.LCTX, np.complex64)
+        self._lctx = np.zeros((self.nrx, self.LCTX), np.complex64)
         self._saw_block = False
+        need = self.block_len + self.halo
         try:
             while not self._stop_evt.is_set():
-                block = self.ring.read_block(self.block_len, self.halo)
-                if block is None:
+                # lockstep: consume only when EVERY antenna ring has a block
+                if any(r.fill < need for r in self.rings):
                     time.sleep(self.poll_s)
                     continue
-                self._process_block(block, t0)
+                rows = [r.read_block(self.block_len, self.halo)
+                        for r in self.rings]
+                # fills were checked and we are the sole consumer, so a None
+                # here means the antennas desynced — that must be fatal
+                assert all(b is not None for b in rows), "ring desync"
+                self._process_block(np.stack(rows), t0)
                 t0 += self.block_len
                 self.n_blocks += 1
         except Exception as e:          # surface thread death to the owner
@@ -126,42 +145,57 @@ class RxStreamer(threading.Thread):
 
 
 class TxStreamer:
-    """PhyTxServer sink: frame bursts into a continuous cf32 stream.
+    """PhyTxServer sink: frame bursts into continuous cf32 stream(s).
 
     Mirrors pad/pad2's burst framing (preamble already inside the waveform;
-    this adds inter-burst gaps) and the flowgraph's sample sink — either a
-    file or interleaved-cf32 UDP datagrams (pairs with UdpIngest on the RX
-    side for loopback).
+    this adds inter-burst gaps) and the flowgraph's sample sinks — one file
+    and/or one UDP cf32 stream PER ANTENNA (pairs with UdpIngest on the RX
+    side for loopback).  Multi-antenna parity with pad2
+    (lib/pad2_impl.cc:154-201): every configured output stream gets a burst
+    of identical length; a 1-stream waveform through a 2-antenna sink
+    zero-fills antenna 1 so the antennas never skew.
+
+    ``path``/``udp_addr`` accept a single value (antenna 0 only) or a list
+    with one entry per antenna; n_streams = the longest list.
     """
 
-    def __init__(self, path: str | None = None,
-                 udp_addr: tuple[str, int] | None = None, gap: int = 1200,
+    def __init__(self, path=None, udp_addr=None, gap: int = 1200,
                  amp: float = 1.0):
         self.gap = gap
         self.amp = amp
-        self._f = open(path, "ab") if path else None
+        paths = list(path) if isinstance(path, (list, tuple)) else \
+            ([path] if path else [])
+        addrs = list(udp_addr) if udp_addr and isinstance(udp_addr[0], tuple) \
+            else ([udp_addr] if udp_addr else [])
+        self.n_streams = max(len(paths), len(addrs), 1)
+        self._f = [open(p, "ab") if p else None
+                   for p in paths + [None] * (self.n_streams - len(paths))]
+        self._addr = addrs + [None] * (self.n_streams - len(addrs))
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM) \
-            if udp_addr else None
-        self._addr = udp_addr
+            if any(self._addr) else None
         self.n_bursts = 0
 
     def __call__(self, waveform: np.ndarray, req=None):
-        w = np.atleast_2d(np.asarray(waveform, np.complex64))[0] * self.amp
-        burst = np.concatenate(
-            [w, np.zeros(self.gap, np.complex64)]).astype(np.complex64)
-        if self._f is not None:
-            burst.tofile(self._f)
-            self._f.flush()
-        if self._sock is not None:
-            raw = burst.tobytes()
-            # keep datagrams under typical 64 KiB limits: 4096 samples each
-            step = 4096 * 8
-            for o in range(0, len(raw), step):
-                self._sock.sendto(raw[o: o + step], self._addr)
+        w = np.atleast_2d(np.asarray(waveform, np.complex64)) * self.amp
+        n = w.shape[1] + self.gap
+        for i in range(self.n_streams):
+            burst = np.zeros(n, np.complex64)   # pad2 zero-fill for 1SS
+            if i < w.shape[0]:
+                burst[: w.shape[1]] = w[i]
+            if self._f[i] is not None:
+                burst.tofile(self._f[i])
+                self._f[i].flush()
+            if self._addr[i] is not None:
+                raw = burst.tobytes()
+                # keep datagrams under typical 64 KiB limits: 4096 samples
+                step = 4096 * 8
+                for o in range(0, len(raw), step):
+                    self._sock.sendto(raw[o: o + step], self._addr[i])
         self.n_bursts += 1
 
     def close(self):
-        if self._f:
-            self._f.close()
+        for f in self._f:
+            if f:
+                f.close()
         if self._sock:
             self._sock.close()

@@ -1,0 +1,69 @@
+"""2-process multi-host scale-out: per-host ingest + cross-host halo exchange
+must decode exactly the same packets as the single-process 8-device run.
+
+Each worker owns 4 virtual CPU devices and HALF the IQ timeline; the chain's
+halo ppermute crosses the host boundary (Gloo stands in for DCN on the CPU
+backend).  The single-process reference runs in-process on this test's own
+8-device mesh — identical shard count, identical program."""
+import os
+import socket
+import subprocess
+import sys
+import re
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_chain_matches_single_process():
+    # single-process reference on this process's 8 virtual devices
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _multihost_worker import build_stream
+    from gr_ieee80211_tpu.parallel import mesh as M
+    from gr_ieee80211_tpu.ops.cplx import from_host
+
+    cfg, mpdu, stream, n_pkt = build_stream()
+    mesh = M.make_mesh(8, axes=("sp",))
+    chain, _ = M.rx_chain_sp(cfg, mesh, mpdu_len=len(mpdu),
+                             max_pkts_per_shard=max(8, n_pkt))
+    with mesh:
+        ref_ok, ref_det = (int(x) for x in chain(from_host(stream)))
+    assert ref_ok == n_pkt
+
+    # two workers, 4 devices each, half the stream each
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            pytest.fail(f"multihost worker timed out:\n{out[-2000:]}")
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out[-2000:]}"
+
+    results = []
+    for out in outs:
+        m = re.search(r"RESULT ok=(\d+) det=(\d+)", out)
+        assert m, f"no RESULT line:\n{out[-2000:]}"
+        results.append((int(m.group(1)), int(m.group(2))))
+    # the psum'd totals are replicated: both hosts see the same global counts,
+    # and they equal the single-process reference exactly
+    assert results[0] == results[1] == (ref_ok, ref_det), \
+        f"multihost {results} != single-process {(ref_ok, ref_det)}"

@@ -122,9 +122,9 @@ def main():
     x = jnp.pad(pairs, ((0, Bp - B), (0, Tp - Tt), (0, 0)))
     llr0 = jnp.asarray(x[:, :, 0].transpose(1, 0))
     llr1 = jnp.asarray(x[:, :, 1].transpose(1, 0))
-    t, (dlo, dhi) = timeit("  viterbi ACS", lambda a, b: acs_sweep(a, b),
-                           llr0, llr1,
-                           extra=f"(trellis {Tt})")
+    t, (dlo, dhi, _pm) = timeit("  viterbi ACS", lambda a, b: acs_sweep(a, b),
+                                llr0, llr1,
+                                extra=f"(trellis {Tt})")
     t, bits = timeit("  traceback",
                      lambda a, b: traceback_sweep(a, b), dlo, dhi)
 

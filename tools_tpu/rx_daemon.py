@@ -7,7 +7,9 @@ unmodified as the listener.
 
   python tools_tpu/rx_daemon.py --udp-iq 9000            # live cf32 in
   python tools_tpu/rx_daemon.py --file capture.bin       # replay
-      [--nrx 1] [--block 524288] [--halo 16384] [--report-port 9527]
+  python tools_tpu/rx_daemon.py --udp-iq 9000 9001       # 2-antenna rx2.grc
+  python tools_tpu/rx_daemon.py --file ant0.bin ant1.bin # 2-antenna replay
+      [--block 524288] [--halo 16384] [--report-port 9527]
       [--mu-pos N] [--mu-gid G] [--stats-every 5]
 """
 import argparse
@@ -22,9 +24,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--udp-iq", type=int, default=None,
-                    help="UDP port receiving interleaved-cf32 datagrams")
-    ap.add_argument("--file", default=None, help="cf32 .bin file to replay")
+    ap.add_argument("--udp-iq", type=int, nargs="+", default=None,
+                    help="UDP port(s) receiving interleaved-cf32 datagrams, "
+                         "one per RX antenna")
+    ap.add_argument("--file", nargs="+", default=None,
+                    help="cf32 .bin file(s) to replay, one per RX antenna")
     ap.add_argument("--block", type=int, default=1 << 19)
     ap.add_argument("--halo", type=int, default=16384)
     ap.add_argument("--report-port", type=int, default=9527)
@@ -42,13 +46,15 @@ def main():
     from gr_ieee80211_tpu.runtime.streaming import RxStreamer
     from gr_ieee80211_tpu.models.rx import RxEngine
 
-    ring = NAT.IqRing(1 << 23)
-    ing = None
+    nrx = len(args.udp_iq or args.file)
+    rings = [NAT.IqRing(1 << 23) for _ in range(nrx)]
+    ings = []
     if args.udp_iq is not None:
-        ing = NAT.UdpIngest(ring, port=args.udp_iq)
-        print(f"ingesting cf32 on udp:{ing.port}", file=sys.stderr)
-    eng = RxEngine(nrx=1, mu_pos=args.mu_pos, mu_gid=args.mu_gid)
-    streamer = RxStreamer(ring, eng, block_len=args.block, halo=args.halo,
+        ings = [NAT.UdpIngest(r, port=p) for r, p in zip(rings, args.udp_iq)]
+        print("ingesting cf32 on udp:"
+              + ",".join(str(i.port) for i in ings), file=sys.stderr)
+    eng = RxEngine(nrx=nrx, mu_pos=args.mu_pos, mu_gid=args.mu_gid)
+    streamer = RxStreamer(rings, eng, block_len=args.block, halo=args.halo,
                           reporter=PhyRxReporter(port=args.report_port))
     streamer.start()
     print(f"reporting decoded packets to udp:{args.report_port}",
@@ -56,11 +62,15 @@ def main():
 
     try:
         if args.file is not None:
-            data = np.fromfile(args.file, np.complex64)
-            print(f"replaying {len(data)/1e6:.1f} M samples", file=sys.stderr)
-            o = 0
-            while o < len(data):
-                o += ring.write(data[o: o + (1 << 16)]) or 0
+            streams = [np.fromfile(f, np.complex64) for f in args.file]
+            n = min(len(d) for d in streams)
+            print(f"replaying {n/1e6:.1f} M samples x {nrx}", file=sys.stderr)
+            offs = [0] * nrx
+            while min(offs) < n:
+                for k in range(nrx):   # per-ring offsets: no cross-ring skew
+                    if offs[k] < n:
+                        offs[k] += rings[k].write(
+                            streams[k][offs[k]: offs[k] + (1 << 16)]) or 0
                 time.sleep(0.001)
             streamer.stop(drain=True)
             streamer.join(timeout=600)
@@ -70,7 +80,7 @@ def main():
             return
         while True:
             time.sleep(args.stats_every)
-            s = ing.stats if ing else {}
+            s = [i.stats for i in ings]
             print(f"blocks {streamer.n_blocks}  pkts ok "
                   f"{streamer.n_ok}/{streamer.n_packets}  ingest {s}",
                   file=sys.stderr)
@@ -78,8 +88,8 @@ def main():
         pass
     finally:
         streamer.stop()
-        if ing:
-            ing.stop()
+        for i in ings:
+            i.stop()
 
 
 if __name__ == "__main__":

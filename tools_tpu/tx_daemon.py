@@ -7,6 +7,7 @@ sent as UDP datagrams (pairs with rx_daemon --udp-iq for loopback).
 
   python tools_tpu/tx_daemon.py --out tx_stream.bin
   python tools_tpu/tx_daemon.py --udp-out 9000 [--port 9528] [--amp 0.2]
+  python tools_tpu/tx_daemon.py --udp-out 9000 9001      # 2-antenna tx2.grc
 """
 import argparse
 import os
@@ -18,9 +19,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=None, help="append cf32 stream file")
-    ap.add_argument("--udp-out", type=int, default=None,
-                    help="send cf32 datagrams to 127.0.0.1:<port>")
+    ap.add_argument("--out", nargs="+", default=None,
+                    help="append cf32 stream file(s), one per antenna")
+    ap.add_argument("--udp-out", type=int, nargs="+", default=None,
+                    help="send cf32 datagrams to 127.0.0.1:<port>(s), "
+                         "one per antenna")
     ap.add_argument("--port", type=int, default=9528)
     ap.add_argument("--gap", type=int, default=1200)
     ap.add_argument("--amp", type=float, default=0.2)
@@ -32,13 +35,14 @@ def main():
     from gr_ieee80211_tpu.runtime.streaming import TxStreamer
 
     sink = TxStreamer(path=args.out,
-                      udp_addr=("127.0.0.1", args.udp_out)
+                      udp_addr=[("127.0.0.1", p) for p in args.udp_out]
                       if args.udp_out else None,
                       gap=args.gap, amp=args.amp)
     srv = PhyTxServer(sink=sink, port=args.port)
     srv.start()
     print(f"MAC->PHY requests on udp:{srv.port}; "
-          f"stream -> {args.out or ''} {('udp:%d' % args.udp_out) if args.udp_out else ''}",
+          f"{sink.n_streams} stream(s) -> {args.out or ''} "
+          f"{('udp:%s' % args.udp_out) if args.udp_out else ''}",
           file=sys.stderr)
     try:
         while True:
