@@ -41,6 +41,56 @@ NLSIG_GI = 208
 #: one packet (preamble clusters span <700; packets are >=720 samples)
 TRIG_DEDUP_SPACING = 700
 
+#: bucket-shape canonicalization ladder (~1.25x geometric): live traffic maps
+#: a long tail of payload lengths onto a handful of compiled programs instead
+#: of one XLA program per (fmt, mcs, len, nsym).  The reference has no analog
+#: (its per-sample state machines are shape-free); this is the TPU-side cost
+#: model: each new shape is a fresh multi-second compile.
+_NSYM_LADDER = (1, 2, 3, 4, 5, 6, 8, 10, 13, 16, 20, 26, 32, 40, 52, 64,
+                80, 104, 128, 160, 208, 256, 320, 416, 512, 640, 832, 1024,
+                1366)
+
+#: min extra trellis steps between the real tail and a canonically padded
+#: trellis end: survivor paths merge within ~16 constraint lengths, so >=96
+#: garbage steps leave the real payload bits identical to an exact-shape
+#: decode (same bound as viterbi_pallas.SEG_OVERLAP)
+_CANON_MERGE_STEPS = 96
+
+
+def canonical_cfg(cfg: PhyConfig) -> PhyConfig:
+    """Round a data config's nsym up the ladder (padding the decode with
+    garbage symbols) so many payload lengths share one compiled program.
+
+    Returns ``cfg`` unchanged on an exact ladder hit, for MU/NDP configs,
+    or when no rung gives both >= _CANON_MERGE_STEPS of trellis margin and
+    a consistent max-length config (e.g. near the 4095 B cap)."""
+    if cfg.mu_nsym or cfg.is_ndp:
+        return cfg
+    nsym = cfg.nsym
+
+    def rung_cfg(rung):
+        max_len = min((rung * cfg.ndbps - 16 - 6) // 8, 4095)
+        cand = PhyConfig(cfg.fmt, cfg.mcs, cfg.nss, max_len, ampdu=cfg.ampdu)
+        return cand if cand.nsym == rung and max_len >= cfg.length else None
+
+    for rung in _NSYM_LADDER:
+        if rung == nsym:
+            if cfg.fmt == Fmt.VHT:
+                # VHT psdu_len is nsym-determined, so the max-length config
+                # has IDENTICAL decode shapes — normalizing the length field
+                # unifies the jit key across lengths sharing this rung
+                cand = rung_cfg(rung)
+                if cand is not None:
+                    return cand
+            # HT/L exact hits keep the exact shape: their canon trellis end
+            # would sit mid-pad-stream, inside survivor-merge range of the
+            # real tail when the length is near the rung max
+            return cfg
+        if rung > nsym and (rung - nsym) * cfg.ndbps >= _CANON_MERGE_STEPS:
+            cand = rung_cfg(rung)
+            return cfg if cand is None else cand
+    return cfg
+
 
 def dedup_triggers(cand: np.ndarray) -> np.ndarray:
     """Keep the first candidate of each <TRIG_DEDUP_SPACING cluster."""
@@ -186,6 +236,35 @@ def _payload_core_mu(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _crc8_affine():
+    """CRC8 over n bits as an affine GF(2) map: crc(b) = M @ b xor c0.
+
+    M columns from unit-vector probes of the bit-serial oracle
+    (spec.tables.crc8_bits); lets a jitted chain validate SIG-B against the
+    SERVICE field on device (the reference's re-encode comparison,
+    lib/demod_impl.cc:449-505) without a host round trip."""
+    n = 20
+    c0 = T.crc8_bits(np.zeros(n, np.uint8)).astype(np.float32)
+    cols = []
+    for i in range(n):
+        e = np.zeros(n, np.uint8)
+        e[i] = 1
+        cols.append((T.crc8_bits(e).astype(np.float32) + c0) % 2)
+    return np.stack(cols, axis=1), c0     # (8, 20), (8,)
+
+
+def _sigb_crc_ok(sigb_bits: jax.Array, service: jax.Array) -> jax.Array:
+    """Device SIG-B validation for a (B, 26) bit batch vs (B, 16) SERVICE."""
+    M, c0 = _crc8_affine()
+    body = sigb_bits[:, :20].astype(jnp.float32)
+    crc = jnp.mod(body @ jnp.asarray(M.T) + jnp.asarray(c0)[None, :], 2.0)
+    tail_zero = jnp.sum(sigb_bits[:, 20:26].astype(jnp.int32), axis=1) == 0
+    match = jnp.sum(jnp.abs(crc - service[:, 8:16].astype(jnp.float32)),
+                    axis=1) == 0
+    return match & tail_zero
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "nrx", "mpdu_len"))
 def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
                   cfo: jax.Array, nrx: int = 1, mpdu_len: int = 0):
@@ -282,6 +361,53 @@ def rx_chain_ok(cfg: PhyConfig, stream: CF, nrx: int = 1,
     return ok & valid, ltf_idx, valid
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_total", "own", "nrx",
+                                    "mpdu_len", "max_pkts"))
+def rx_chain_count_mu(cfg: PhyConfig, stream: CF, n_total: int, own: int,
+                      nrx: int = 1, mpdu_len: int = 0, max_pkts: int = 4096):
+    """Single-dispatch MU-STA chain: detect -> sync -> SIG-B -> payload.
+
+    The MU twin of :func:`rx_chain_count` (the STA knows its group config,
+    as in the cmu_v3 closed loop): ONE device program decodes the user's
+    VHT-SIG-B, validates it against the SERVICE-field CRC on device
+    (lib/demod_impl.cc:449-505), decodes the payload and returns
+    (n_fcs_ok, n_detected) scalars — one host crossing per batch."""
+    m4 = FE.stf_metric_strided(stream[0])
+    cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts)
+    trigs = FE.dedup_triggers_device(cand, max_pkts,
+                                     spacing=TRIG_DEDUP_SPACING)
+    valid = trigs >= 0
+    trigs = jnp.maximum(trigs, 0)
+    ltf_idx, peak, cfo = _sync_core(stream[0], trigs)
+    nltf = int(T.N_LTF_OF_NSTS[n_total])
+    n_need = 208 + 160 + 80 + 80 * nltf + 80 + 80 * cfg.nsym
+    valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
+    ltf_idx = jnp.clip(ltf_idx, 0, stream.shape[-1] - n_need - 1)
+    sigb_bits = _mu_sigb_core(stream[0], ltf_idx, cfo, n_total, own)
+    mcs_bits = sigb_bits[:, 16:20].astype(jnp.int32)
+    sigb_mcs = (mcs_bits[:, 0] + 2 * mcs_bits[:, 1] + 4 * mcs_bits[:, 2]
+                + 8 * mcs_bits[:, 3])
+    out = _payload_core_mu(cfg, stream[:nrx], ltf_idx, cfo, n_total, own,
+                           nrx=nrx, mpdu_len=mpdu_len)
+    ok = out["mpdu_fcs_ok"] & _sigb_crc_ok(sigb_bits, out["service"]) \
+        & (sigb_mcs == cfg.mcs) & valid
+    return jnp.sum(ok.astype(jnp.int32)), jnp.sum(valid.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("nsts", "nrx"))
+def _ndp_chan_core(stream: CF, ltf_idx: jax.Array, cfo: jax.Array,
+                   nsts: int, nrx: int):
+    """Batched NDP channel estimate: (B,) sync positions -> (B, nrx, nsts,
+    64) channel (one dispatch for ALL same-nsts NDPs in a block)."""
+    nltf = int(T.N_LTF_OF_NSTS[nsts])
+    n_need = 208 + 160 + 80 + 80 * nltf
+    xs = cstack([FE.derotate_batch(stream[r], ltf_idx, cfo, n_need)
+                 for r in range(nrx)], axis=1)
+    h, _ = OF.nl_chanest(xs, 208 + 160 + 80, nltf, nsts, nrx_axis=True)
+    return h
+
+
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------
@@ -340,45 +466,62 @@ class RxEngine:
             if isinstance(cfg, tuple) and cfg[0] == "mu":
                 meta.append(cfg)
                 continue
+            canon = canonical_cfg(cfg)
+            if ltf_idx[i] + _data_start(canon) + 80 * canon.nsym \
+                    > stream.shape[1]:
+                # padded window overruns the block: fall back to exact shape
+                canon = cfg
             if ltf_idx[i] + _data_start(cfg) + 80 * cfg.nsym > stream.shape[1]:
                 meta.append(None)
                 continue
-            buckets.setdefault(cfg, []).append(i)
+            buckets.setdefault(canon, []).append((i, cfg))
             meta.append(("data", cfg))
 
         results: list[RxResult] = [None] * len(ltf_idx)
-        for cfg, all_idxs in buckets.items():
+        for canon, all_items in buckets.items():
             # cap the bucket batch so the Viterbi decision planes
             # (n_trellis x 64 x B int8 x 2) stay within ~2 GB of HBM
-            # (an MCS0 4095 B packet has a 32k-step trellis)
-            max_b = max(128, -(-(1 << 31) // (cfg.n_trellis * 64)) // 128 * 128)
-            for c0 in range(0, len(all_idxs), max_b):
-                idxs = all_idxs[c0: c0 + max_b]
-                self._decode_bucket(dev, cfg, idxs, ltf_idx, cfo, trigs,
+            # (an MCS0 4095 B packet has a 32k-step trellis); sub-tile
+            # batches run at their own lane width (adaptive b_tile)
+            max_b = max(128,
+                        -(-(1 << 31) // (canon.n_trellis * 64)) // 128 * 128)
+            for c0 in range(0, len(all_items), max_b):
+                items = all_items[c0: c0 + max_b]
+                self._decode_bucket(dev, canon, items, ltf_idx, cfo, trigs,
                                     results)
+        # NDPs: ONE channel-estimate dispatch per nsts value (not per packet)
+        ndp_groups: dict[int, list[int]] = {}
         for i, mi in enumerate(meta):
             if mi is not None and mi[0] == "ndp":
-                r = RxResult(True, Fmt.VHT, 0, mi[1], int(ltf_idx[i]),
-                             float(cfo[i]), is_ndp=True,
-                             trig=int(trigs[i]))
-                r.ndp_chan = self._ndp_chan(dev, int(ltf_idx[i]), float(cfo[i]),
-                                            mi[1])
+                ndp_groups.setdefault(mi[1], []).append(i)
+        for nsts, idxs in ndp_groups.items():
+            sel = np.asarray(idxs, dtype=np.int32)
+            h = _ndp_chan_core(dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
+                               jnp.asarray(cfo[sel]), nsts, self.nrx)
+            hc = np.asarray(h.re) + 1j * np.asarray(h.im)
+            for j, i in enumerate(idxs):
+                r = RxResult(True, Fmt.VHT, 0, nsts, int(ltf_idx[i]),
+                             float(cfo[i]), is_ndp=True, trig=int(trigs[i]))
+                r.ndp_chan = hc[j]
                 results[i] = r
         self._process_mu(dev, ltf_idx, cfo, trigs, meta, results,
                          stream.shape[1])
         return [r for r in results if r is not None]
 
-    def _decode_bucket(self, dev, cfg: PhyConfig, idxs, ltf_idx, cfo, trigs,
-                       results):
-        sel = np.asarray(idxs, dtype=np.int32)
-        out = _payload_core(cfg, dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
+    def _decode_bucket(self, dev, canon: PhyConfig, items, ltf_idx, cfo,
+                       trigs, results):
+        """items: [(packet index, exact PhyConfig)]; decoded with the shared
+        canonical config, each packet's real psdu sliced from the padded
+        decode (bit-identical: >= _CANON_MERGE_STEPS of trellis margin)."""
+        sel = np.asarray([i for i, _ in items], dtype=np.int32)
+        out = _payload_core(canon, dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
                             jnp.asarray(cfo[sel]), nrx=self.nrx)
         psdu = np.asarray(out["psdu"])
-        for j, i in enumerate(idxs):
+        for j, (i, cfg) in enumerate(items):
             r = RxResult(False, cfg.fmt, cfg.mcs, cfg.nss,
                          int(ltf_idx[i]), float(cfo[i]),
                          trig=int(trigs[i]))
-            pb = psdu[j].tobytes()
+            pb = psdu[j][: cfg.psdu_len].tobytes()
             r.psdu = pb
             if cfg.fmt == Fmt.VHT or (cfg.fmt == Fmt.HT and cfg.ampdu):
                 r.mpdus = MAC.ampdu_deaggregate(pb, ht=cfg.fmt == Fmt.HT)

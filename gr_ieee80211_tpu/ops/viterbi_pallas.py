@@ -1,8 +1,9 @@
 """Pallas TPU kernels for the Viterbi forward ACS sweep and traceback.
 
-Layout: path metrics live in VMEM as (64 states, B_TILE packets) — states in
-sublanes, a 1024-packet tile in lanes.  The de Bruijn predecessor structure
-(pred(s') = {2s', 2s'+1}) makes the per-step gather a contiguous-pair split:
+Layout: path metrics live in VMEM as (64 states, b_tile packets) — states in
+sublanes, up to a 1024-packet tile in lanes.  The de Bruijn predecessor
+structure (pred(s') = {2s', 2s'+1}) makes the per-step gather a
+contiguous-pair split:
 
     ev = pm.reshape(32, 2, B)[:, 0]   # even predecessors
     od = pm.reshape(32, 2, B)[:, 1]   # odd predecessors
@@ -19,6 +20,23 @@ grid's T axis in REVERSE carrying the survivor one-hot mask in scratch
 (gather-free: fold the two masked decision halves to the predecessor
 one-hot, ~8 VPU ops per step).
 
+The lane tile adapts to the batch: a 512-packet long-trellis bucket runs
+with b_tile=512 instead of padding to 1024 lanes (the HBM budget caps
+long-trellis batches below a full tile, models/rx.RxEngine._decode_bucket).
+
+Measured dead ends on the v5e (radix-4 et al., kept OUT of the tree):
+two-steps-per-iteration ACS variants — radix-4 over state quartets
+(53 ms vs 24 ms at B=4096 x T=5312: the stride-4 sublane extracts lose),
+cascaded radix-2 emitting a packed 2-bit digit plane (29.6 ms: in-loop
+selects/concats cost more than the stores they save), one-packed-int8-
+store-per-2-steps (23.7 ms: parity with baseline), f32 shift-accumulated
+16-steps-per-word decisions (26.3 ms), bf16 decision planes (28.1 ms),
+f32 decision planes (22.9 ms, −1.4 ms but 4x the HBM), and wider lane
+tiles (b_tile=2048/4096: the store-free body is already VPU-bound at
+0.54 us/step, 15.5 ms floor).  A store-free sweep runs 15.5 ms, so the
+decision stores cost ~8.5 ms regardless of count, dtype, or packing —
+the plain two-int8-plane radix-2 kernel below is the measured optimum.
+
 The pure-XLA implementation in ``ops.viterbi`` remains the oracle and the
 path used for the short SIG-field trellises; these kernels run in interpret
 mode on CPU.
@@ -34,16 +52,25 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..spec import tables as T
-
 NEG = -1e9
-#: lane-tile width: 1024 packets/tile minimizes the count of sequential
-#: trellis-loop iterations (the per-iteration issue overhead dominates the
-#: ~12 VPU ops of one ACS step): total iterations = (T/T_CHUNK)*(B/B_TILE)
-#: *T_CHUNK = T*B/B_TILE.  T_CHUNK=64 keeps the double-buffered decision
+#: max lane-tile width: 1024 packets/tile minimizes the count of sequential
+#: trellis-loop iterations; T_CHUNK=64 keeps the double-buffered decision
 #: blocks (2 x 2 MB x 2) plus LLR/metrics inside the 16 MB VMEM budget.
 B_TILE = 1024
 T_CHUNK = 64
+
+
+def _lane_tile(B: int) -> int:
+    """Adaptive lane tile: whole batch if it fits one tile, else B_TILE."""
+    return B if B <= B_TILE else B_TILE
+
+
+def _pad_batch(B: int) -> int:
+    """Smallest supported padded batch: one 128-multiple tile, or a
+    B_TILE multiple beyond one tile."""
+    if B <= B_TILE:
+        return -(-B // 128) * 128
+    return -(-B // B_TILE) * B_TILE
 
 
 def _branch_masks_in_kernel():
@@ -67,46 +94,49 @@ def _branch_masks_in_kernel():
             for half, b_in in ((0, 0), (1, 1)) for parity in (0, 1)}
 
 
-def _acs_kernel(llr0_ref, llr1_ref, pm0_ref, dec_lo_ref, dec_hi_ref,
-                pm_out_ref, pm):
-    tc = pl.program_id(1)
+def _make_acs_kernel(bt: int):
+    def _acs_kernel(llr0_ref, llr1_ref, pm0_ref, dec_lo_ref, dec_hi_ref,
+                    pm_out_ref, pm):
+        tc = pl.program_id(1)
 
-    @pl.when(tc == 0)
-    def _():
-        pm[:] = pm0_ref[:]
+        @pl.when(tc == 0)
+        def _():
+            pm[:] = pm0_ref[:]
 
-    masks = _branch_masks_in_kernel()
-    (a00, a10) = masks[(0, 0)]
+        masks = _branch_masks_in_kernel()
+        (a00, a10) = masks[(0, 0)]
 
-    # Branch-metric symmetry: flipping the predecessor parity (p0) or the
-    # input bit flips BOTH output bits, so with bm = a00*l0 + a10*l1 and
-    # q = (l0+l1) - bm the four candidates are
-    #   cand_a_lo = ev + bm   cand_b_lo = od + q
-    #   cand_a_hi = ev + q    cand_b_hi = od + bm
-    # — 12 VPU ops per trellis step instead of 16.
-    def step(t, carry):
-        p = carry
-        l0 = llr0_ref[t, :][None, :]        # (1, B_TILE)
-        l1 = llr1_ref[t, :][None, :]
-        pr = p.reshape(32, 2, B_TILE)
-        ev = pr[:, 0, :]                    # (32, B_TILE) even predecessors
-        od = pr[:, 1, :]
-        bm = a00 * l0 + a10 * l1
-        q = (l0 + l1) - bm
-        cand_a_lo = ev + bm
-        cand_b_lo = od + q
-        cand_a_hi = ev + q
-        cand_b_hi = od + bm
-        dec_lo_ref[t, :, :] = (cand_b_lo > cand_a_lo).astype(jnp.int8)
-        dec_hi_ref[t, :, :] = (cand_b_hi > cand_a_hi).astype(jnp.int8)
-        new_lo = jnp.maximum(cand_a_lo, cand_b_lo)
-        new_hi = jnp.maximum(cand_a_hi, cand_b_hi)
-        return jnp.concatenate([new_lo, new_hi], axis=0)
+        # Branch-metric symmetry: flipping the predecessor parity (p0) or
+        # the input bit flips BOTH output bits, so with bm = a00*l0 + a10*l1
+        # and q = (l0+l1) - bm the four candidates are
+        #   cand_a_lo = ev + bm   cand_b_lo = od + q
+        #   cand_a_hi = ev + q    cand_b_hi = od + bm
+        # — 12 VPU ops per trellis step instead of 16.
+        def step(t, carry):
+            p = carry
+            l0 = llr0_ref[t, :][None, :]        # (1, bt)
+            l1 = llr1_ref[t, :][None, :]
+            pr = p.reshape(32, 2, bt)
+            ev = pr[:, 0, :]                    # (32, bt) even predecessors
+            od = pr[:, 1, :]
+            bm = a00 * l0 + a10 * l1
+            q = (l0 + l1) - bm
+            cand_a_lo = ev + bm
+            cand_b_lo = od + q
+            cand_a_hi = ev + q
+            cand_b_hi = od + bm
+            dec_lo_ref[t, :, :] = (cand_b_lo > cand_a_lo).astype(jnp.int8)
+            dec_hi_ref[t, :, :] = (cand_b_hi > cand_a_hi).astype(jnp.int8)
+            new_lo = jnp.maximum(cand_a_lo, cand_b_lo)
+            new_hi = jnp.maximum(cand_a_hi, cand_b_hi)
+            return jnp.concatenate([new_lo, new_hi], axis=0)
 
-    p = jax.lax.fori_loop(0, T_CHUNK, step, pm[:])
-    # renormalize once per chunk to keep f32 exact over 32k-step trellises
-    pm[:] = p - jnp.max(p, axis=0, keepdims=True)
-    pm_out_ref[:] = pm[:]
+        p = jax.lax.fori_loop(0, T_CHUNK, step, pm[:])
+        # renormalize once per chunk to keep f32 exact over 32k trellises
+        pm[:] = p - jnp.max(p, axis=0, keepdims=True)
+        pm_out_ref[:] = pm[:]
+
+    return _acs_kernel
 
 
 def state0_metrics(B: int) -> jnp.ndarray:
@@ -120,27 +150,29 @@ def acs_sweep(llr0: jax.Array, llr1: jax.Array, pm0: jax.Array | None = None,
               interpret: bool = False):
     """Forward ACS over the whole trellis.
 
-    llr0, llr1: (T, B) float32 with T % T_CHUNK == 0 and B % 128 == 0;
-    pm0: (64, B) initial path metrics (default: pinned to state 0).
+    llr0, llr1: (T, B) float32 with T % T_CHUNK == 0 and B either a
+    <=B_TILE multiple of 128 or a B_TILE multiple; pm0: (64, B) initial
+    path metrics (default: pinned to state 0).
     Returns (dec_lo, dec_hi) (T, 32, B) int8 (1 = odd predecessor won) and
     the final path metrics (64, B).
     """
     n_steps, B = llr0.shape
-    assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
+    bt = _lane_tile(B)
+    assert n_steps % T_CHUNK == 0 and B % bt == 0 and B % 128 == 0
     if pm0 is None:
         pm0 = state0_metrics(B)
-    grid = (B // B_TILE, n_steps // T_CHUNK)
-    spec32 = pl.BlockSpec((T_CHUNK, 32, B_TILE), lambda bt, tc: (tc, 0, bt),
+    grid = (B // bt, n_steps // T_CHUNK)
+    spec32 = pl.BlockSpec((T_CHUNK, 32, bt), lambda b, t: (t, 0, b),
                           memory_space=pltpu.VMEM)
-    spec_pm = pl.BlockSpec((64, B_TILE), lambda bt, tc: (0, bt),
+    spec_pm = pl.BlockSpec((64, bt), lambda b, t: (0, b),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _acs_kernel,
+        _make_acs_kernel(bt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
+            pl.BlockSpec((T_CHUNK, bt), lambda b, t: (t, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
+            pl.BlockSpec((T_CHUNK, bt), lambda b, t: (t, b),
                          memory_space=pltpu.VMEM),
             spec_pm,
         ],
@@ -148,7 +180,7 @@ def acs_sweep(llr0: jax.Array, llr1: jax.Array, pm0: jax.Array | None = None,
         out_shape=(jax.ShapeDtypeStruct((n_steps, 32, B), jnp.int8),
                    jax.ShapeDtypeStruct((n_steps, 32, B), jnp.int8),
                    jax.ShapeDtypeStruct((64, B), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((64, bt), jnp.float32)],
         interpret=interpret,
     )(llr0, llr1, pm0)
 
@@ -157,226 +189,36 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-# ---------------------------------------------------------------------------
-# Radix-4 kernels: two trellis steps per sequential iteration
-# ---------------------------------------------------------------------------
-#
-# The sequential fori_loop pays a fixed issue overhead per iteration that
-# rivals the ~12-op ACS body, so fusing two de Bruijn steps into one
-# iteration nearly halves the sweep's wall time.  For the composed
-# transition p -> s' -> s'' with input bits (b0, b1):
-#
-#     s'' = (b1<<5) | (b0<<4) | j,   predecessors p = 4j + c, c in 0..3,
-#     intermediate s' = (b0<<5) | (2j + (c>>1)).
-#
-# Both branch-metric pairs collapse onto four shared (16, B) vectors each via
-# the output-complement symmetry (flipping an input/parity bit flips both
-# coded bits):
-#
-#     step t:   o0 = b0^A^c1^c0, o1 = b0^Bm^c0,  A = j2^j1, Bm = j3^j2^j1
-#     step t+1: o0 = b1^C^c1,    o1 = b1^b0^D^c1, C = j3^j2^j0, D = j3^j2
-#
-# so bm1(c,b0) = u_{e} + v_{f} with e = b0^c1^c0, f = b0^c0 and
-# bm2(c,b0,b1) = w_{g} + x_{h} with g = b1^c1, h = b1^b0^c1, where
-# u0 = A*l0, u1 = l0-u0, etc.  The 4-way max per new state is reduced
-# lexicographically ((c>>1) first, then c&1, ties prefer smaller) which
-# composes to EXACTLY the radix-2 kernel's per-step tie rule, so decoded
-# bits are bit-identical.  Decisions pack into ONE (T/2, 64, B) int8 plane
-# (values 0..3) — half the radix-2 kernels' store/read volume.
+def _make_traceback_kernel(bt: int, n_tc: int):
+    def _traceback_kernel(dec_lo_ref, dec_hi_ref, mask0_ref, bits_ref, mask):
+        """Backward survivor walk, one T_CHUNK block per grid step.
 
+        The grid's T axis is index-mapped in REVERSE (last chunk first); the
+        survivor one-hot mask (64, bt) persists in scratch across chunks,
+        seeded from ``mask0`` (state 0 for tail-terminated packets, argmax
+        of the final path metrics for mid-stream segments).  Gather-free:
+        fold the two masked decision halves to the predecessor one-hot
+        (pred = 2s mod 64, +1 where the odd predecessor won).
+        """
+        tc = pl.program_id(1)
 
-def _r4_masks():
-    """(16, 1) float32 masks A, Bm, C, D from iota (see module comment)."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    bit = lambda k: (j >> k) & 1
-    A = (bit(2) ^ bit(1)).astype(jnp.float32)
-    Bm = (bit(3) ^ bit(2) ^ bit(1)).astype(jnp.float32)
-    C = (bit(3) ^ bit(2) ^ bit(0)).astype(jnp.float32)
-    D = (bit(3) ^ bit(2)).astype(jnp.float32)
-    return A, Bm, C, D
+        @pl.when(tc == 0)
+        def _():
+            mask[:] = mask0_ref[:]
 
+        def step(i, m):
+            t = T_CHUNK - 1 - i
+            d_lo = dec_lo_ref[t, :, :].astype(jnp.float32)   # states 0..31
+            d_hi = dec_hi_ref[t, :, :].astype(jnp.float32)   # states 32..63
+            m_lo, m_hi = m[:32], m[32:]
+            bits_ref[t, :] = jnp.sum(m_hi, axis=0).astype(jnp.float32)
+            f0 = m_lo * (1.0 - d_lo) + m_hi * (1.0 - d_hi)
+            f1 = m_lo * d_lo + m_hi * d_hi
+            return jnp.stack([f0, f1], axis=1).reshape(64, bt)
 
-def _acs_kernel_r4(llr0_ref, llr1_ref, pm0_ref, dec_ref, pm_out_ref, pm):
-    tc = pl.program_id(1)
+        mask[:] = jax.lax.fori_loop(0, T_CHUNK, step, mask[:])
 
-    @pl.when(tc == 0)
-    def _():
-        pm[:] = pm0_ref[:]
-
-    A, Bm, C, D = _r4_masks()
-
-    def step(i, p):
-        t = 2 * i
-        l0 = llr0_ref[t, :][None, :]
-        l1 = llr1_ref[t, :][None, :]
-        m0 = llr0_ref[t + 1, :][None, :]
-        m1 = llr1_ref[t + 1, :][None, :]
-        u0 = A * l0
-        u1 = l0 - u0
-        v0 = Bm * l1
-        v1 = l1 - v0
-        w0 = C * m0
-        w1 = m0 - w0
-        x0 = D * m1
-        x1 = m1 - x0
-        # bm1[c][b0] with e = b0^c1^c0, f = b0^c0:
-        #   (e,f) for c=0: (b0,b0); c=1: (~b0,~b0); c=2: (~b0,b0); c=3: (b0,~b0)
-        bm1_c = [
-            (u0 + v0, u1 + v1),      # c=0: b0=0 -> (e,f)=(0,0); b0=1 -> (1,1)
-            (u1 + v1, u0 + v0),      # c=1
-            (u1 + v0, u0 + v1),      # c=2
-            (u0 + v1, u1 + v0),      # c=3
-        ]
-        # bm2[(c1, b0)][b1] with g = b1^c1, h = b1^b0^c1
-        bm2 = {
-            (0, 0): (w0 + x0, w1 + x1),
-            (0, 1): (w0 + x1, w1 + x0),
-            (1, 0): (w1 + x1, w0 + x0),
-            (1, 1): (w1 + x0, w0 + x1),
-        }
-        pr = p.reshape(16, 4, B_TILE)
-        pc = [pr[:, c, :] for c in range(4)]
-        new_q = []
-        dec_q = []
-        for b1 in (0, 1):
-            for b0 in (0, 1):
-                cand = [pc[c] + bm1_c[c][b0] + bm2[(c >> 1, b0)][b1]
-                        for c in range(4)]
-                m01 = jnp.maximum(cand[0], cand[1])
-                m23 = jnp.maximum(cand[2], cand[3])
-                # decision arithmetic in f32 (Mosaic supports neither i8
-                # vector arithmetic nor i1 selects), one cast at the store
-                d_hi = (m23 > m01).astype(jnp.float32)
-                d_lo = (d_hi * (cand[3] > cand[2]).astype(jnp.float32)
-                        + (1.0 - d_hi) * (cand[1] > cand[0]).astype(jnp.float32))
-                new_q.append(jnp.maximum(m01, m23))
-                dec_q.append((d_hi * 2.0 + d_lo).astype(jnp.int8))
-        dec_ref[i, :, :] = jnp.concatenate(dec_q, axis=0)
-        return jnp.concatenate(new_q, axis=0)
-
-    p = jax.lax.fori_loop(0, T_CHUNK // 2, step, pm[:])
-    pm[:] = p - jnp.max(p, axis=0, keepdims=True)
-    pm_out_ref[:] = pm[:]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def acs_sweep_r4(llr0: jax.Array, llr1: jax.Array,
-                 pm0: jax.Array | None = None, interpret: bool = False):
-    """Radix-4 forward ACS: (T, B) LLR pairs -> ((T/2, 64, B) int8 packed
-    decisions, (64, B) final path metrics).  T % T_CHUNK == 0, B % B_TILE == 0.
-    """
-    n_steps, B = llr0.shape
-    assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
-    if pm0 is None:
-        pm0 = state0_metrics(B)
-    grid = (B // B_TILE, n_steps // T_CHUNK)
-    spec_dec = pl.BlockSpec((T_CHUNK // 2, 64, B_TILE),
-                            lambda bt, tc: (tc, 0, bt),
-                            memory_space=pltpu.VMEM)
-    spec_pm = pl.BlockSpec((64, B_TILE), lambda bt, tc: (0, bt),
-                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _acs_kernel_r4,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_CHUNK, B_TILE), lambda bt, tc: (tc, bt),
-                         memory_space=pltpu.VMEM),
-            spec_pm,
-        ],
-        out_specs=(spec_dec, spec_pm),
-        out_shape=(jax.ShapeDtypeStruct((n_steps // 2, 64, B), jnp.int8),
-                   jax.ShapeDtypeStruct((64, B), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
-        interpret=interpret,
-    )(llr0, llr1, pm0)
-
-
-def _traceback_kernel_r4(dec_ref, mask0_ref, bits_ref, mask):
-    """Radix-4 survivor walk: one packed (64, B) decision plane per 2 steps.
-
-    Emits bits as int8; b1 (later step) = mass of states 32..63, b0 = mass
-    of states with bit 4 set.  The mask folds to predecessors p = 4j + c
-    by quarter-selected sublane reduction (identity output order).
-    """
-    tc = pl.program_id(1)
-
-    @pl.when(tc == 0)
-    def _():
-        mask[:] = mask0_ref[:]
-
-    n_iter = T_CHUNK // 2
-
-    def step(i, m):
-        r = n_iter - 1 - i
-        dec = dec_ref[r, :, :].astype(jnp.int32)
-        b1 = jnp.sum(m[32:], axis=0)
-        b0 = jnp.sum(m[16:32], axis=0) + jnp.sum(m[48:], axis=0)
-        bits_ref[2 * r + 1, :] = b1.astype(jnp.int8)
-        bits_ref[2 * r, :] = b0.astype(jnp.int8)
-        sel = [(m * (dec == c).astype(jnp.float32))
-               .reshape(4, 16, B_TILE).sum(axis=0) for c in range(4)]
-        return jnp.stack(sel, axis=1).reshape(64, B_TILE)
-
-    mask[:] = jax.lax.fori_loop(0, n_iter, step, mask[:])
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def traceback_sweep_r4(dec: jax.Array, mask0: jax.Array | None = None,
-                       interpret: bool = False):
-    """(T/2, 64, B) packed decisions -> (T, B) int8 bits (pre-trim)."""
-    n_half, _, B = dec.shape
-    n_steps = 2 * n_half
-    assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
-    if mask0 is None:
-        mask0 = state0_mask(B)
-    n_tc = n_steps // T_CHUNK
-    grid = (B // B_TILE, n_tc)
-    return pl.pallas_call(
-        _traceback_kernel_r4,
-        grid=grid,
-        in_specs=[pl.BlockSpec((T_CHUNK // 2, 64, B_TILE),
-                               lambda bt, tc: (n_tc - 1 - tc, 0, bt),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((64, B_TILE), lambda bt, tc: (0, bt),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((T_CHUNK, B_TILE),
-                               lambda bt, tc: (n_tc - 1 - tc, bt),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
-        interpret=interpret,
-    )(dec, mask0)
-
-
-def _traceback_kernel(dec_lo_ref, dec_hi_ref, mask0_ref, bits_ref, mask):
-    """Backward survivor walk, one T_CHUNK block per grid step.
-
-    The grid's T axis is index-mapped in REVERSE (last chunk first); the
-    survivor one-hot mask (64, B_TILE) persists in scratch across chunks,
-    seeded from ``mask0`` (state 0 for tail-terminated packets, argmax of
-    the final path metrics for mid-stream segments).  Gather-free: fold the
-    two masked decision halves to the predecessor one-hot (pred = 2s mod 64,
-    +1 where the odd predecessor won).
-    """
-    tc = pl.program_id(1)
-
-    @pl.when(tc == 0)
-    def _():
-        mask[:] = mask0_ref[:]
-
-    def step(i, m):
-        t = T_CHUNK - 1 - i
-        d_lo = dec_lo_ref[t, :, :].astype(jnp.float32)   # states 0..31
-        d_hi = dec_hi_ref[t, :, :].astype(jnp.float32)   # states 32..63
-        m_lo, m_hi = m[:32], m[32:]
-        bits_ref[t, :] = jnp.sum(m_hi, axis=0).astype(jnp.float32)
-        f0 = m_lo * (1.0 - d_lo) + m_hi * (1.0 - d_hi)
-        f1 = m_lo * d_lo + m_hi * d_hi
-        return jnp.stack([f0, f1], axis=1).reshape(64, B_TILE)
-
-    mask[:] = jax.lax.fori_loop(0, T_CHUNK, step, mask[:])
+    return _traceback_kernel
 
 
 def state0_mask(B: int) -> jnp.ndarray:
@@ -392,25 +234,26 @@ def traceback_sweep(dec_lo: jax.Array, dec_hi: jax.Array,
 
     mask0: (64, B) one-hot survivor start (default: state 0)."""
     n_steps, _, B = dec_lo.shape
-    assert n_steps % T_CHUNK == 0 and B % B_TILE == 0
+    bt = _lane_tile(B)
+    assert n_steps % T_CHUNK == 0 and B % bt == 0 and B % 128 == 0
     if mask0 is None:
         mask0 = state0_mask(B)
     n_tc = n_steps // T_CHUNK
-    grid = (B // B_TILE, n_tc)
-    spec32 = pl.BlockSpec((T_CHUNK, 32, B_TILE),
-                          lambda bt, tc: (n_tc - 1 - tc, 0, bt),
+    grid = (B // bt, n_tc)
+    spec32 = pl.BlockSpec((T_CHUNK, 32, bt),
+                          lambda b, t: (n_tc - 1 - t, 0, b),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _traceback_kernel,
+        _make_traceback_kernel(bt, n_tc),
         grid=grid,
         in_specs=[spec32, spec32,
-                  pl.BlockSpec((64, B_TILE), lambda bt, tc: (0, bt),
+                  pl.BlockSpec((64, bt), lambda b, t: (0, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((T_CHUNK, B_TILE),
-                               lambda bt, tc: (n_tc - 1 - tc, bt),
+        out_specs=pl.BlockSpec((T_CHUNK, bt),
+                               lambda b, t: (n_tc - 1 - t, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((64, B_TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((64, bt), jnp.float32)],
         interpret=interpret,
     )(dec_lo, dec_hi, mask0)
 
@@ -420,7 +263,8 @@ def viterbi_decode_pallas(llr_pairs: jax.Array,
     """Drop-in for ops.viterbi.viterbi_decode (traceback from state 0).
 
     llr_pairs: (B, T, 2) float32 -> (B, T) uint8.  Pads T to a T_CHUNK
-    multiple and B to a 128 multiple internally.
+    multiple; B pads to a 128 multiple and runs at an adaptive lane tile
+    (no forced 1024-lane padding for sub-tile batches).
 
     segmented=True splits each trellis into overlapped ~1k-step segments
     decoded as extra batch rows (see _viterbi_decode_segmented): bit-
@@ -434,12 +278,12 @@ def viterbi_decode_pallas(llr_pairs: jax.Array,
     if segmented:
         return _viterbi_decode_segmented(llr_pairs, interpret=interp)
     Tp = -(-n_steps // T_CHUNK) * T_CHUNK
-    Bp = -(-B // B_TILE) * B_TILE
+    Bp = _pad_batch(B)
     x = jnp.pad(llr_pairs, ((0, Bp - B), (0, Tp - n_steps), (0, 0)))
     llr0 = x[:, :, 0].transpose(1, 0)
     llr1 = x[:, :, 1].transpose(1, 0)
-    dec, _ = acs_sweep_r4(llr0, llr1, interpret=interp)
-    bits = traceback_sweep_r4(dec, interpret=interp)
+    dec_lo, dec_hi, _ = acs_sweep(llr0, llr1, interpret=interp)
+    bits = traceback_sweep(dec_lo, dec_hi, interpret=interp)
     return bits.transpose(1, 0)[:B, :n_steps].astype(jnp.uint8)
 
 
@@ -455,7 +299,6 @@ SEG_OVERLAP = 96
 SEG_TARGET_K = 1024
 
 
-
 def _viterbi_decode_segmented(llr_pairs: jax.Array,
                               interpret: bool = False) -> jax.Array:
     B, n_steps, _ = llr_pairs.shape
@@ -463,6 +306,8 @@ def _viterbi_decode_segmented(llr_pairs: jax.Array,
     S = max(2, -(-n_steps // SEG_TARGET_K))
     K = -(-n_steps // S)
     seg_t = -(-(K + 2 * W) // T_CHUNK) * T_CHUNK
+    # full-tile padding here: the expanded batch is S*Bp lanes and must stay
+    # a valid tile multiple for any segment count
     Bp = -(-B // B_TILE) * B_TILE
     # segment s>0 covers original steps [s*K, (s+1)*K) with its ACS window
     # starting W steps early (warmup from uniform metrics); segment 0 keeps
@@ -475,19 +320,20 @@ def _viterbi_decode_segmented(llr_pairs: jax.Array,
     win = starts[:, None] + np.arange(seg_t)[None, :]   # (S, seg_t)
     l0s = x[:, :, 0][:, win]                            # (Bp, S, seg_t)
     l1s = x[:, :, 1][:, win]
-    # expanded batch, segment-major so B_TILE blocks never mix segments
+    # expanded batch, segment-major so lane tiles never mix segments
     llr0e = l0s.transpose(2, 1, 0).reshape(seg_t, S * Bp)
     llr1e = l1s.transpose(2, 1, 0).reshape(seg_t, S * Bp)
     pm0 = jnp.concatenate(
         [state0_metrics(Bp), jnp.zeros((64, (S - 1) * Bp), jnp.float32)],
         axis=1)
-    dec, pm_f = acs_sweep_r4(llr0e, llr1e, pm0, interpret=interpret)
+    dec_lo, dec_hi, pm_f = acs_sweep(llr0e, llr1e, pm0, interpret=interpret)
     # traceback from the ML end state of each window (for the last, tail
     # segment this is state 0 via the zero tail bits at working SNR)
     best = jnp.argmax(pm_f, axis=0)                     # (S*Bp,)
     row = jax.lax.broadcasted_iota(jnp.int32, (64, S * Bp), 0)
     mask0 = (row == best[None, :]).astype(jnp.float32)
-    bits = traceback_sweep_r4(dec, mask0, interpret=interpret)  # (seg_t, S*Bp)
+    bits = traceback_sweep(dec_lo, dec_hi, mask0,
+                           interpret=interpret)        # (seg_t, S*Bp)
     bits = bits.reshape(seg_t, S, Bp)
     kept = [bits[offs[s]: offs[s] + K, s] for s in range(S)]  # (K, Bp) each
     out = jnp.stack(kept, axis=0).transpose(2, 0, 1).reshape(Bp, S * K)

@@ -147,3 +147,21 @@ def test_viterbi_segmented_matches_monolithic():
     seg = np.asarray(viterbi_decode_pallas(jnp.asarray(llr), segmented=True))
     assert np.array_equal(mono, seg)
     assert np.array_equal(mono, msg)
+
+
+def test_viterbi_pallas_adaptive_lane_tile():
+    """Sub-tile batches decode at their own lane width (no 1024-pad)."""
+    import jax.numpy as jnp
+    from gr_ieee80211_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+    from gr_ieee80211_tpu.gold import bits as GB
+    rng = np.random.default_rng(6)
+    for B_, T_ in ((5, 200), (130, 100), (200, 391)):
+        msg = rng.integers(0, 2, (B_, T_)).astype(np.uint8)
+        msg[:, -6:] = 0
+        llr = np.empty((B_, T_, 2), np.float32)
+        for i in range(B_):
+            enc = GB.bcc_encode(msg[i]).astype(np.float32)
+            llr[i] = (2 * enc - 1).reshape(-1, 2)
+        llr += rng.normal(size=llr.shape).astype(np.float32) * 0.3
+        out = np.asarray(viterbi_decode_pallas(jnp.asarray(llr)))
+        assert np.array_equal(out, msg), (B_, T_)

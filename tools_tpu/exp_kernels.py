@@ -17,8 +17,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
     from gr_ieee80211_tpu.ops.viterbi_pallas import (
-        acs_sweep, traceback_sweep, acs_sweep_r4, traceback_sweep_r4,
-        B_TILE, T_CHUNK)
+        acs_sweep, traceback_sweep, B_TILE, T_CHUNK)
     from gr_ieee80211_tpu.ops import frontend as FE
     from gr_ieee80211_tpu.ops.cplx import CF
 
@@ -43,15 +42,9 @@ def main():
     _, (dlo, dhi, _pm) = timeit("ACS r2", lambda a, b: acs_sweep(a, b),
                                 llr0, llr1)
     timeit("TB  r2", lambda a, b: traceback_sweep(a, b), dlo, dhi)
-    _, (dec, _pm4) = timeit("ACS r4", lambda a, b: acs_sweep_r4(a, b),
-                            llr0, llr1)
-    timeit("TB  r4", lambda d: traceback_sweep_r4(d), dec)
-
-    # sanity: same bits
-    b2 = traceback_sweep(dlo, dhi)
-    b4 = traceback_sweep_r4(dec)
-    same = bool(jnp.all(b2.astype(jnp.int8) == b4))
-    print(f"r2 == r4 bits: {same}")
+    # radix-4 / packed / cascaded / f32-word variants were measured and
+    # removed (see the module docstring of ops/viterbi_pallas.py for the
+    # numbers): the plain radix-2 two-plane kernel is the v5e optimum.
 
     # ---- window gather variants ------------------------------------------
     N = 10_000_000
