@@ -101,7 +101,7 @@ def run_daemon_rtt(mcs_list, payload_lens, n_pkts, block_len=1 << 16,
                     while tx_sink.n_bursts == nb0:     # burst fully emitted
                         time.sleep(0.0002)
                     flush_block()
-                    deadline = time.time() + (120 if it < 2 else 15)
+                    deadline = time.time() + (600 if it < 2 else 15)
                     got = None
                     while time.time() < deadline:
                         assert streamer.error is None, streamer.error
@@ -195,6 +195,8 @@ def run_fused_latency(mcs_list, payload_lens, batches=(1, 256, 4096)):
 
 def main():
     import jax
+    if os.environ.get("RUN_ON_CPU"):       # plumbing smoke test (the
+        jax.config.update("jax_platforms", "cpu")  # artifact runs on TPU)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     mcs_list = [int(x) for x in
