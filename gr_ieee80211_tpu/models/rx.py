@@ -213,8 +213,9 @@ def _payload_core_mu(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     nltf = int(T.N_LTF_OF_NSTS[n_total])
     ltf_start = 208 + 160 + 80
     data_start = ltf_start + 80 * nltf + 80
-    n_need = data_start + 80 * cfg.nsym
-    xs = cstack([FE.derotate_batch(stream[r], ltf_idx, cfo, n_need)
+    n_need = data_start + 80 * cfg.nsym + 16
+    xs = cstack([FE.derotate_batch(stream[r], ltf_idx, cfo, n_need,
+                                   low_prec=True)
                  for r in range(nrx)], axis=1)
     h_all, pilot_h = OF.nl_chanest(xs, ltf_start, nltf, n_total,
                                    nrx_axis=True)
@@ -275,8 +276,11 @@ def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     single-MPDU A-MPDUs is done by the host on the returned bytes).
     """
     data_start = _data_start(cfg)
-    n_need = data_start + 80 * cfg.nsym
-    xs = cstack([FE.derotate_batch(stream[r], ltf_idx, cfo, n_need)
+    # +16 over-fetch lets extract_sym_windows run gather-free (reshape);
+    # bf16-staged gather halves the dominant window-fetch bytes
+    n_need = data_start + 80 * cfg.nsym + 16
+    xs = cstack([FE.derotate_batch(stream[r], ltf_idx, cfo, n_need,
+                                   low_prec=True)
                  for r in range(nrx)], axis=1)      # (B, nrx, n)
     if cfg.fmt == Fmt.L:
         h0 = OF.legacy_chanest(xs[:, 0], 0)
@@ -310,15 +314,22 @@ def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "nrx", "mpdu_len", "max_pkts"))
+                   static_argnames=("cfg", "nrx", "mpdu_len", "max_pkts",
+                                    "chunk"))
 def rx_chain_count(cfg: PhyConfig, stream: CF, nrx: int = 1,
-                   mpdu_len: int = 0, max_pkts: int = 4096):
+                   mpdu_len: int = 0, max_pkts: int = 4096,
+                   chunk: int | None = None):
     """Single-dispatch known-config chain: detect -> dedup -> sync -> decode.
 
     Fuses the entire RX into ONE device program returning two scalars
     (n_fcs_ok, n_detected): on the tunneled TPU backend every separate
     dispatch+readback costs a ~26 ms round trip, so the bench/PER harness
     hot loop must cross the host boundary exactly once per batch.
+
+    ``chunk``: decode the synced packets in lax.scan chunks of this size
+    INSIDE the one program — HBM stays at chunk-level (the Viterbi decision
+    planes are per-chunk temporaries) while the dispatch/readback overhead
+    amortizes over max_pkts packets.  Requires max_pkts % chunk == 0.
     """
     m4 = FE.stf_metric_strided(stream[0])
     cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts)
@@ -327,14 +338,31 @@ def rx_chain_count(cfg: PhyConfig, stream: CF, nrx: int = 1,
     valid = trigs >= 0
     trigs = jnp.maximum(trigs, 0)
     ltf_idx, peak, cfo = _sync_core(stream[0], trigs)
-    n_need = _data_start(cfg) + 80 * cfg.nsym
+    n_need = _data_start(cfg) + 80 * cfg.nsym + 16
     valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
     ltf_idx = jnp.clip(ltf_idx, 0, stream.shape[-1] - n_need - 1)
-    out = _payload_core(cfg, stream[:nrx], ltf_idx, cfo, nrx=nrx,
-                        mpdu_len=mpdu_len)
-    ok = out.get("mpdu_fcs_ok", out.get("fcs_ok"))
-    return jnp.sum((ok & valid).astype(jnp.int32)), \
-        jnp.sum(valid.astype(jnp.int32))
+
+    def count(li, cf, va):
+        out = _payload_core(cfg, stream[:nrx], li, cf, nrx=nrx,
+                            mpdu_len=mpdu_len)
+        ok = out.get("mpdu_fcs_ok", out.get("fcs_ok"))
+        return (jnp.sum((ok & va).astype(jnp.int32)),
+                jnp.sum(va.astype(jnp.int32)))
+
+    if chunk is None or max_pkts <= chunk:
+        return count(ltf_idx, cfo, valid)
+    assert max_pkts % chunk == 0
+    K = max_pkts // chunk
+
+    def body(carry, xs):
+        n_ok, n_det = count(*xs)
+        return (carry[0] + n_ok, carry[1] + n_det), None
+
+    (n_ok, n_det), _ = jax.lax.scan(
+        body, (jnp.int32(0), jnp.int32(0)),
+        (ltf_idx.reshape(K, chunk), cfo.reshape(K, chunk),
+         valid.reshape(K, chunk)))
+    return n_ok, n_det
 
 
 @functools.partial(jax.jit,
@@ -352,7 +380,7 @@ def rx_chain_ok(cfg: PhyConfig, stream: CF, nrx: int = 1,
     valid = trigs >= 0
     trigs = jnp.maximum(trigs, 0)
     ltf_idx, peak, cfo = _sync_core(stream[0], trigs)
-    n_need = _data_start(cfg) + 80 * cfg.nsym
+    n_need = _data_start(cfg) + 80 * cfg.nsym + 16
     valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
     ltf_idx_c = jnp.clip(ltf_idx, 0, stream.shape[-1] - n_need - 1)
     out = _payload_core(cfg, stream[:nrx], ltf_idx_c, cfo, nrx=nrx,
@@ -381,7 +409,7 @@ def rx_chain_count_mu(cfg: PhyConfig, stream: CF, n_total: int, own: int,
     trigs = jnp.maximum(trigs, 0)
     ltf_idx, peak, cfo = _sync_core(stream[0], trigs)
     nltf = int(T.N_LTF_OF_NSTS[n_total])
-    n_need = 208 + 160 + 80 + 80 * nltf + 80 + 80 * cfg.nsym
+    n_need = 208 + 160 + 80 + 80 * nltf + 80 + 80 * cfg.nsym + 16
     valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
     ltf_idx = jnp.clip(ltf_idx, 0, stream.shape[-1] - n_need - 1)
     sigb_bits = _mu_sigb_core(stream[0], ltf_idx, cfo, n_total, own)
@@ -467,11 +495,12 @@ class RxEngine:
                 meta.append(cfg)
                 continue
             canon = canonical_cfg(cfg)
-            if ltf_idx[i] + _data_start(canon) + 80 * canon.nsym \
+            if ltf_idx[i] + _data_start(canon) + 80 * canon.nsym + 16 \
                     > stream.shape[1]:
                 # padded window overruns the block: fall back to exact shape
                 canon = cfg
-            if ltf_idx[i] + _data_start(cfg) + 80 * cfg.nsym > stream.shape[1]:
+            if ltf_idx[i] + _data_start(cfg) + 80 * cfg.nsym + 16 \
+                    > stream.shape[1]:
                 meta.append(None)
                 continue
             buckets.setdefault(canon, []).append((i, cfg))
@@ -557,7 +586,7 @@ class RxEngine:
                 if (nsym == 0 or not sigb.ok or sigb.mcs > 8
                         or not (1 <= sigb.length <= 4095)):
                     continue
-                if ltf_idx[i] + data_start + 80 * nsym > n_stream:
+                if ltf_idx[i] + data_start + 80 * nsym + 16 > n_stream:
                     continue
                 cfg = PhyConfig(Fmt.VHT, sigb.mcs, nsts[self.mu_pos],
                                 sigb.length, ampdu=True, mu_nsym=nsym)

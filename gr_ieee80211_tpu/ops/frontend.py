@@ -207,6 +207,27 @@ def gather_windows(x: CF, starts: jax.Array, n: int) -> CF:
     return jax.vmap(one)(starts)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def gather_windows_bf16(x: CF, starts: jax.Array, n: int) -> CF:
+    """Window gather through a bfloat16 staging copy of the stream.
+
+    Dynamic gathers on this chip are effective-bandwidth bound (~6 GB/s);
+    halving the bytes cuts the payload window fetch ~30% (measured: 5.8 ->
+    4.1 ms device for (4096, 2100) windows).  bf16's 8-bit mantissa is
+    ~49 dB SQNR per sample — an order of magnitude below the channel noise
+    at any decodable SNR (MCS9 needs ~ -32 dB EVM), and far finer than the
+    12-bit ADCs feeding a real front end."""
+    re16 = x.re.astype(jnp.bfloat16)
+    im16 = x.im.astype(jnp.bfloat16)
+
+    def one(s):
+        return (jax.lax.dynamic_slice(re16, (s,), (n,)),
+                jax.lax.dynamic_slice(im16, (s,), (n,)))
+
+    r, i = jax.vmap(one)(starts)
+    return CF(r.astype(jnp.float32), i.astype(jnp.float32))
+
+
 @jax.jit
 def ltf_fine_sync(wins: CF):
     """Per-packet L-LTF timing on (B, 368) windows starting at trigger+80.
@@ -260,9 +281,14 @@ def fine_cfo_batch(ltf_wins: CF, cfo0: jax.Array) -> jax.Array:
     return cfo0 - s.angle() / 64 / (2 * np.pi) * FS
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def derotate_batch(x: CF, starts: jax.Array, cfo: jax.Array, n: int) -> CF:
-    """Gather (B, n) windows at ``starts`` and derotate each by its CFO."""
-    wins = gather_windows(x, starts, n)
+@functools.partial(jax.jit, static_argnames=("n", "low_prec"))
+def derotate_batch(x: CF, starts: jax.Array, cfo: jax.Array, n: int,
+                   low_prec: bool = False) -> CF:
+    """Gather (B, n) windows at ``starts`` and derotate each by its CFO.
+
+    low_prec=True stages the gather through bf16 (see gather_windows_bf16);
+    used for the long payload windows where the fetch dominates."""
+    gw = gather_windows_bf16 if low_prec else gather_windows
+    wins = gw(x, starts, n)
     t = np.arange(n)
     return wins * expj(-2 * np.pi * cfo[:, None] / FS * t[None, :])

@@ -26,9 +26,18 @@ def fft_syms(wins: CF) -> CF:
 
 def extract_sym_windows(xs: CF, start: int, nsym: int) -> CF:
     """xs (B, n) CFO-corrected samples -> (B, nsym, 64) FFT windows, for
-    symbols whose GIs begin at start + 80*k."""
+    symbols whose GIs begin at start + 80*k.
+
+    Gather-free: the 80-sample symbol stride makes the windows a reshape +
+    static slice (requires n >= start + 16 + 80*nsym; callers over-fetch
+    16 samples)."""
     B = xs.shape[0]
-    idx = (start + T.N_GI + 80 * np.arange(nsym)[:, None]
+    s0 = start + T.N_GI
+    if xs.shape[1] >= s0 + 80 * nsym:
+        span = xs[:, s0: s0 + 80 * nsym]
+        return CF(span.re.reshape(B, nsym, 80)[:, :, :64],
+                  span.im.reshape(B, nsym, 80)[:, :, :64])
+    idx = (s0 + 80 * np.arange(nsym)[:, None]
            + np.arange(64)[None, :]).reshape(-1)
     return CF(xs.re[:, idx].reshape(B, nsym, 64),
               xs.im[:, idx].reshape(B, nsym, 64))
