@@ -29,6 +29,7 @@ from ..ops.cplx import CF, cstack, from_host
 from ..ops import ofdm as OF
 from ..ops import crc as CRC
 from ..ops.viterbi_pallas import viterbi_decode_pallas
+from ..ops.fastdecode import adaptive_decode
 from ..ops import viterbi as VXLA
 
 
@@ -225,8 +226,7 @@ def _payload_core_mu(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     grids = OF.fft_syms(grids)
     llr = OF.equalize_and_demap(grids, h, pilot_h, cfg, nrx_axis=True)
     coded = OF.deinterleave_deparse(llr, cfg)
-    pairs = VXLA.depuncture(coded, cfg.cr, cfg.n_trellis)
-    bits = viterbi_decode_pallas(pairs)
+    bits = adaptive_decode(coded, cfg.cr, cfg.n_trellis)
     data = OF.descramble_bits(bits)
     psdu_bits = data[:, 16: 16 + 8 * cfg.psdu_len]
     out = {"psdu": OF.bits_to_bytes_batch(psdu_bits),
@@ -297,8 +297,7 @@ def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     grids = OF.fft_syms(grids)                       # (B, nrx, nsym, 64)
     llr = OF.equalize_and_demap(grids, h, pilot_h, cfg, nrx_axis=True)
     coded = OF.deinterleave_deparse(llr, cfg)        # (B, nsym*ncbps)
-    pairs = VXLA.depuncture(coded, cfg.cr, cfg.n_trellis)
-    bits = viterbi_decode_pallas(pairs)              # (B, n_trellis)
+    bits = adaptive_decode(coded, cfg.cr, cfg.n_trellis)  # (B, n_trellis)
     data = OF.descramble_bits(bits)
     psdu_bits = data[:, 16: 16 + 8 * cfg.psdu_len]
     psdu = OF.bits_to_bytes_batch(psdu_bits)
