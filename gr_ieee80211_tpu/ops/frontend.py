@@ -281,6 +281,27 @@ def fine_cfo_batch(ltf_wins: CF, cfo0: jax.Array) -> jax.Array:
     return cfo0 - s.angle() / 64 / (2 * np.pi) * FS
 
 
+def _derotate_factored(wins: CF, cfo: jax.Array, n: int) -> CF:
+    """wins * exp(-j 2pi cfo t / FS) with t = 64*q + r factored phasors.
+
+    sin/cos lower to ~15-op polynomial chains on the VPU; computing the
+    (B, n) rotation directly makes transcendentals the derotation cost.
+    exp(j w t) = exp(j w 64 q) * exp(j w r) needs only (B, n/64 + 64)
+    of them plus one extra complex multiply per sample (~6 VPU ops)."""
+    B = wins.shape[0]
+    w = (-2 * np.pi / FS) * cfo                      # (B,) rad/sample
+    n_hi = -(-n // 64)
+    hi = expj(w[:, None] * (64.0 * np.arange(n_hi, dtype=np.float32))[None])
+    lo = expj(w[:, None] * np.arange(64, dtype=np.float32)[None])
+    rot = CF(hi.re[:, :, None], hi.im[:, :, None]) * \
+        CF(lo.re[:, None, :], lo.im[:, None, :])     # (B, n_hi, 64)
+    pad = n_hi * 64 - n
+    re = jnp.pad(wins.re, ((0, 0), (0, pad))).reshape(B, n_hi, 64)
+    im = jnp.pad(wins.im, ((0, 0), (0, pad))).reshape(B, n_hi, 64)
+    out = CF(re, im) * rot
+    return CF(out.re.reshape(B, -1)[:, :n], out.im.reshape(B, -1)[:, :n])
+
+
 @functools.partial(jax.jit, static_argnames=("n", "low_prec"))
 def derotate_batch(x: CF, starts: jax.Array, cfo: jax.Array, n: int,
                    low_prec: bool = False) -> CF:
@@ -290,5 +311,4 @@ def derotate_batch(x: CF, starts: jax.Array, cfo: jax.Array, n: int,
     used for the long payload windows where the fetch dominates."""
     gw = gather_windows_bf16 if low_prec else gather_windows
     wins = gw(x, starts, n)
-    t = np.arange(n)
-    return wins * expj(-2 * np.pi * cfo[:, None] / FS * t[None, :])
+    return _derotate_factored(wins, cfo, n)
