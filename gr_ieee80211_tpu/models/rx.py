@@ -270,12 +270,15 @@ def _sigb_crc_ok(sigb_bits: jax.Array, service: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nrx", "mpdu_len"))
 def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
-                  cfo: jax.Array, nrx: int = 1, mpdu_len: int = 0):
+                  cfo: jax.Array, nrx: int = 1, mpdu_len: int = 0,
+                  n_real: jax.Array | None = None):
     """Full payload demod+decode for one config bucket.
 
     stream: (nrx, N); returns dict with psdu bytes (B, psdu_len), fcs_ok
     (B,) (whole-PSDU check for non-aggregated; first-MPDU check for VHT
     single-MPDU A-MPDUs is done by the host on the returned bytes).
+    n_real: optional per-row true trellis length for canonicalized
+    buckets — keeps the adaptive fast path live (ops.fastdecode).
     """
     data_start = _data_start(cfg)
     # +16 over-fetch lets extract_sym_windows run gather-free (reshape);
@@ -299,7 +302,8 @@ def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     grids = OF.fft_syms(grids)                       # (B, nrx, nsym, 64)
     llr = OF.equalize_and_demap(grids, h, pilot_h, cfg, nrx_axis=True)
     coded = OF.deinterleave_deparse(llr, cfg)        # (B, nsym*ncbps)
-    bits = adaptive_decode(coded, cfg.cr, cfg.n_trellis)  # (B, n_trellis)
+    bits = adaptive_decode(coded, cfg.cr, cfg.n_trellis,
+                           n_real=n_real)            # (B, n_trellis)
     data = OF.descramble_bits(bits)
     psdu_bits = data[:, 16: 16 + 8 * cfg.psdu_len]
     psdu = OF.bits_to_bytes_batch(psdu_bits)
@@ -544,8 +548,10 @@ class RxEngine:
         canonical config, each packet's real psdu sliced from the padded
         decode (bit-identical: >= _CANON_MERGE_STEPS of trellis margin)."""
         sel = np.asarray([i for i, _ in items], dtype=np.int32)
+        n_real = jnp.asarray([c.n_trellis for _, c in items], jnp.int32)
         out = _payload_core(canon, dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
-                            jnp.asarray(cfo[sel]), nrx=self.nrx)
+                            jnp.asarray(cfo[sel]), nrx=self.nrx,
+                            n_real=n_real)
         psdu = np.asarray(out["psdu"])
         for j, (i, cfg) in enumerate(items):
             r = RxResult(False, cfg.fmt, cfg.mcs, cfg.nss,

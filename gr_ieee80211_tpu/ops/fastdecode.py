@@ -4,18 +4,27 @@ At working SNR most packets arrive with ZERO hard-decision errors in the
 coded stream, and when the received hard bits form a valid codeword the
 ML (Viterbi) output is exactly that codeword's data — so the decode
 reduces to *inverting the encoder*, a GF(2) linear map.  The punctured
-802.11 BCC (K=7, g0=133o/g1=171o, all four rates) is non-catastrophic,
-so a windowed FIR left inverse exists; here each 240-data-bit block is
-recovered from a 3-block window of the (zero-filled) depunctured hard
-bits by ONE precomputed GF(2) matrix — an MXU matmul, exact in a single
-bf16 pass (0/1 inputs, f32 accumulation).  A re-encode syndrome then
-counts hard errors per packet:
+802.11 BCC (K=7, g0=133o/g1=171o, all four rates) is non-catastrophic
+and keeps >= 1 coded bit per trellis step at every rate, so a CAUSAL
+windowed FIR left inverse exists: each 240-data-bit block is recovered
+from a 3-block window of the (zero-filled) depunctured hard bits by ONE
+precomputed GF(2) matrix — an MXU matmul, exact in a single bf16 pass
+(0/1 inputs, f32 accumulation).  Causality (asserted at matrix build:
+data bit t uses depunctured coded positions <= 2t+1 only) means the
+stencil is exact up to and including the LAST bit of any stream — no
+separate tail system — and, crucially, that a per-row real length
+``n_real`` inside a longer canonicalized trellis leaves every real bit
+exact: positions >= 2*n_real never feed bits t < n_real.
 
-* syndrome == 0 everywhere  -> the algebraic inverse IS the Viterbi
-  output (codeword case) — no trellis sweep at all;
-* 0 < n_fail <= fallback    -> only failing rows are gathered into a
-  small lane tile and run through the Pallas Viterbi;
-* n_fail > fallback         -> the whole batch falls back to the full
+A re-encode syndrome then counts hard errors per packet (restricted to
+kept, within-``n_real`` positions):
+
+* syndrome == 0 everywhere   -> the algebraic inverse IS the Viterbi
+  output on the real region (codeword-prefix case) — no trellis sweep;
+* 0 < n_fail <= tier         -> only failing rows are gathered into the
+  smallest sufficient lane tile (fallback, then 4x fallback) and run
+  through the Pallas Viterbi;
+* n_fail > largest tier      -> the whole batch falls back to the full
   Pallas Viterbi sweep (exact at any SNR).
 
 The branches are ``lax.cond`` at batch scope — one compiled program
@@ -27,13 +36,10 @@ spends an order of magnitude less on the benchmark's operating point.
 
 Matrix derivation (host, cached per code rate): Gaussian elimination
 over GF(2) on a 5-block encoding window — the solution's support is
-restricted to the 3 center coded blocks, so the same stencil is exact
-for every block position including the first (zero left padding = zero
-preceding data = zero encoder state).  The trellis END is handled by a
-dedicated per-(rate, T) end-window matrix: the last bits of a stream
-need *later* coded bits than exist, so they are re-solved from the
-exact finite tail system (prototype-validated against gold
-bcc_encode_punct for all rates and lengths).
+restricted to the 3 center coded blocks, so the same stencil is
+position-independent and exact for every block including the first
+(zero left padding = zero preceding data = zero encoder state) and the
+last (causal support).
 """
 from __future__ import annotations
 
@@ -51,9 +57,10 @@ from .viterbi_pallas import viterbi_decode_pallas
 #: data count (1, 2, 3, 5) so one stencil matrix serves all block offsets
 KB = 240
 
-#: default fallback lane-tile capacity (rows re-decoded by the Pallas
+#: first fallback lane-tile capacity (rows re-decoded by the Pallas
 #: Viterbi when their syndrome is nonzero); a 128-lane tile is the
-#: smallest the kernel supports and covers sync outliers at working SNR
+#: smallest the kernel supports and covers sync outliers at working SNR.
+#: A second 4x tier softens the mid-SNR cliff before the full sweep.
 FALLBACK_B = 128
 
 
@@ -69,8 +76,12 @@ def _enc_matrix(nd: int) -> np.ndarray:
 
 
 def _keep_mask(cr: str, ncoded: int) -> np.ndarray:
-    pat = T.PUNCTURE[cr]
-    return np.tile(pat, -(-ncoded // len(pat)))[:ncoded].astype(bool)
+    """Puncture keep mask over a depunctured stream, shared with the
+    depuncture scatter (single source of truth: viterbi.depuncture_indices)."""
+    idx, _ = VXLA.depuncture_indices(cr, -(-ncoded // 2))
+    m = np.zeros(2 * (-(-ncoded // 2)), bool)
+    m[idx] = True
+    return m[:ncoded]
 
 
 def _gf2_solve(M: np.ndarray, Rhs: np.ndarray) -> np.ndarray | None:
@@ -111,7 +122,10 @@ def _interior_matrix(cr: str) -> np.ndarray:
 
     Solved on a 5-block window with support restricted to the center 3
     coded blocks and zero required on every other data column, so the
-    stencil is position-independent."""
+    stencil is position-independent.  The returned solution is CAUSAL
+    (asserted): column k's support ends at window position 2*(KB+k)+1,
+    which makes the stencil exact at stream ends and under per-row
+    ``n_real`` masking (see module docstring)."""
     nd = 5 * KB
     Ep = _enc_matrix(nd)
     keep = _keep_mask(cr, 2 * nd)
@@ -126,34 +140,18 @@ def _interior_matrix(cr: str) -> np.ndarray:
         raise ValueError(f"no windowed inverse for rate {cr}")
     Xd = np.zeros((3 * S2, KB), np.float32)
     Xd[np.nonzero(sub_keep)[0]] = X
+    for k in range(KB):                            # causality certificate
+        nz = np.nonzero(Xd[:, k])[0]
+        assert nz.max() <= 2 * (KB + k) + 1, (cr, k, nz.max())
     return Xd
 
 
-@functools.lru_cache(maxsize=None)
-def _tail_matrix(cr: str, n_trellis: int):
-    """((2*nd,) window width, (2*nd, KB2) f32): the LAST KB2 data bits
-    from the last 2*nd depunctured coded bits of an n_trellis stream."""
-    KB2 = min(2 * KB, n_trellis)
-    nd = min(4 * KB, n_trellis)
-    extra = min(6, n_trellis - nd)
-    ndw = nd + extra
-    E = _enc_matrix(n_trellis)[:, n_trellis - ndw:]
-    keep = _keep_mask(cr, 2 * n_trellis)
-    rows = np.arange(2 * (n_trellis - nd), 2 * n_trellis)
-    sub_keep = keep[rows]
-    A = E[rows][sub_keep]
-    tgt = np.zeros((ndw, KB2), np.uint8)
-    tgt[np.arange(ndw - KB2, ndw), np.arange(KB2)] = 1
-    X = _gf2_solve(A.T, tgt)
-    if X is None:                                  # pragma: no cover
-        raise ValueError(f"no tail inverse for rate {cr} T={n_trellis}")
-    Xd = np.zeros((2 * nd, KB2), np.float32)
-    Xd[np.nonzero(sub_keep)[0]] = X
-    return 2 * nd, Xd
-
-
 def _hard_inverse(hard_flat: jax.Array, cr: str, n_trellis: int) -> jax.Array:
-    """(B, 2T) depunctured hard bits (f32 0/1) -> (B, T) data bits f32."""
+    """(B, 2T) depunctured hard bits (f32 0/1) -> (B, T) data bits f32.
+
+    Exact on every bit of an error-free stream (causal stencil); if the
+    stream is only a codeword PREFIX of length n_real < T (canonicalized
+    buckets, positions >= 2*n_real zeroed), bits [0, n_real) are exact."""
     B = hard_flat.shape[0]
     S2 = 2 * KB
     nblk = -(-n_trellis // KB)
@@ -168,16 +166,13 @@ def _hard_inverse(hard_flat: jax.Array, cr: str, n_trellis: int) -> jax.Array:
     Xi = jnp.asarray(_interior_matrix(cr))
     d = jnp.einsum("bnw,wk->bnk", w, Xi,
                    preferred_element_type=jnp.float32) % 2
-    d = d.reshape(B, -1)[:, :n_trellis]
-    wt, Xt = _tail_matrix(cr, n_trellis)
-    tail_win = hard_flat[:, 2 * n_trellis - wt:]
-    dt = (tail_win @ jnp.asarray(Xt)) % 2
-    return jnp.concatenate([d[:, : n_trellis - dt.shape[1]], dt], axis=1)
+    return d.reshape(B, -1)[:, :n_trellis]
 
 
-def _syndrome(d: jax.Array, hard_flat: jax.Array, cr: str,
-              n_trellis: int) -> jax.Array:
-    """Per-row count of kept coded positions where re-encode(d) != hard."""
+def _syndrome(d: jax.Array, hard_flat: jax.Array, cr: str, n_trellis: int,
+              live: jax.Array | None = None) -> jax.Array:
+    """Per-row count of kept (and live) coded positions where
+    re-encode(d) != hard."""
     B = d.shape[0]
     h = jnp.pad(d, ((0, 0), (6, 0)))
 
@@ -189,40 +184,70 @@ def _syndrome(d: jax.Array, hard_flat: jax.Array, cr: str,
     re = jnp.stack([a, c], axis=-1).reshape(B, 2 * n_trellis)
     keep = jnp.asarray(_keep_mask(cr, 2 * n_trellis).astype(np.float32))
     mism = jnp.abs(re - hard_flat) * keep[None, :]
+    if live is not None:
+        mism = mism * live
     return jnp.sum(mism, axis=1).astype(jnp.int32)
 
 
-def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
-                    fallback: int = FALLBACK_B) -> jax.Array:
-    """Depuncture + decode with the syndrome-gated fast path.
+def inverse_and_syndrome(coded_llr: jax.Array, cr: str, n_trellis: int,
+                         n_real: jax.Array | None = None):
+    """Depuncture, algebraic-invert and re-encode-check a batch.
 
-    coded_llr: (B, >=n_kept) punctured LLRs (positive = coded bit 1).
-    Returns (B, n_trellis) uint8 — identical to the pure Viterbi path on
-    every row whose decode matters: zero-syndrome rows are codewords
-    (fast path IS the ML output); other rows run the real Viterbi.
-    """
+    Returns (pairs (B, T, 2) f32, d8 (B, T) uint8 candidate, syn (B,)
+    int32 per-row hard-error count over kept positions in [0, n_real))."""
     B = coded_llr.shape[0]
     pairs = VXLA.depuncture(coded_llr, cr, n_trellis)      # (B, T, 2)
     flat = pairs.reshape(B, 2 * n_trellis)
     hard = (flat > 0).astype(jnp.float32)
+    live = None
+    if n_real is not None:
+        live = (jnp.arange(2 * n_trellis, dtype=jnp.int32)[None, :]
+                < 2 * n_real.astype(jnp.int32)[:, None]).astype(jnp.float32)
+        hard = hard * live
     d = _hard_inverse(hard, cr, n_trellis)
-    syn = _syndrome(d, hard, cr, n_trellis)
+    syn = _syndrome(d, hard, cr, n_trellis, live)
+    return pairs, d.astype(jnp.uint8), syn
+
+
+def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
+                    fallback: int = FALLBACK_B,
+                    n_real: jax.Array | None = None) -> jax.Array:
+    """Depuncture + decode with the syndrome-gated fast path.
+
+    coded_llr: (B, >=n_kept) punctured LLRs (positive = coded bit 1).
+    n_real: optional (B,) int32 true trellis length per row for
+    canonicalized (rounded-up) buckets — the syndrome and fast path then
+    cover only each row's real region (pad-region bits are discarded by
+    the caller; the Viterbi fallback keeps them exact anyway through the
+    >= 96-step survivor-merge margin the canon ladder guarantees).
+    Returns (B, n_trellis) uint8 — identical to the pure Viterbi path on
+    every row whose decode matters: zero-syndrome rows are codeword
+    prefixes (fast path IS the ML output); other rows run the real
+    Viterbi via a tiered lane-tile ladder (fallback, 4x fallback, full
+    batch) so mid-SNR batches with few bad rows avoid the full sweep.
+    """
+    B = coded_llr.shape[0]
+    pairs, d8, syn = inverse_and_syndrome(coded_llr, cr, n_trellis, n_real)
     need = syn > 0
     n_fail = jnp.sum(need.astype(jnp.int32))
-    d8 = d.astype(jnp.uint8)
 
     def fast(_):
         return d8
 
-    def tile(_):
-        idx = jnp.nonzero(need, size=fallback, fill_value=B)[0]
-        rows = jnp.minimum(idx, B - 1)
-        bits = viterbi_decode_pallas(pairs[rows])          # (fb, T) uint8
-        return d8.at[idx].set(bits, mode="drop")
+    def tile_fn(k):
+        def tile(_):
+            idx = jnp.nonzero(need, size=k, fill_value=B)[0]
+            rows = jnp.minimum(idx, B - 1)
+            bits = viterbi_decode_pallas(pairs[rows])      # (k, T) uint8
+            return d8.at[idx].set(bits, mode="drop")
+        return tile
 
     def full(_):
         return viterbi_decode_pallas(pairs)
 
-    return jax.lax.cond(
-        n_fail == 0, fast,
-        lambda _: jax.lax.cond(n_fail <= fallback, tile, full, None), None)
+    body = full
+    for k in [t for t in (4 * fallback, fallback) if t < B]:
+        def tier(_, k=k, nxt=body):
+            return jax.lax.cond(n_fail <= k, tile_fn(k), nxt, None)
+        body = tier
+    return jax.lax.cond(n_fail == 0, fast, body, None)
