@@ -67,3 +67,63 @@ def test_two_process_chain_matches_single_process():
     # and they equal the single-process reference exactly
     assert results[0] == results[1] == (ref_ok, ref_det), \
         f"multihost {results} != single-process {(ref_ok, ref_det)}"
+
+
+def _run_workers(n_proc, mode, b_local, n_dev=4):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(n_proc), str(port), mode,
+         str(b_local), str(n_dev)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(n_proc)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            pytest.fail(f"worker timed out:\n{out[-2000:]}")
+        assert p.returncode == 0, f"worker failed:\n{out[-2000:]}"
+        outs.append(out)
+    res, times = [], []
+    for out in outs:
+        m = re.search(r"RESULT ok=(\d+) det=(\d+)", out)
+        assert m, f"no RESULT line:\n{out[-2000:]}"
+        res.append((int(m.group(1)), int(m.group(2))))
+        t = re.search(r"DPTIME ms=([0-9.]+)", out)
+        if t:
+            times.append(float(t.group(1)))
+    return res, times
+
+
+def test_two_process_dp_decode_and_scaling():
+    """payload_decode_multihost across 2 processes decodes every window,
+    and the cross-process overhead is measured at FIXED hardware: 4
+    virtual devices and a 128-window batch, run as 1 process vs 2
+    processes of 2 devices (this host has 2 cores, so adding virtual
+    'hosts' adds no silicon — true weak scaling is unmeasurable here;
+    what CAN be isolated is the process-boundary cost: Gloo collectives
+    + multi-controller dispatch vs in-process).  Recorded to
+    results/multihost_scaling.json against the BASELINE ">80% at N>=2
+    hosts" target (labeled cpu-virtual)."""
+    B = 128
+    res1, t1 = _run_workers(1, "dp", B, n_dev=4)
+    assert res1[0] == (B, B)
+    res2, t2 = _run_workers(2, "dp", B // 2, n_dev=2)
+    assert res2[0] == res2[1] == (B, B)
+    eff = t1[0] / max(t2)
+    blob = {"mode": "dp_fixed_hardware_2proc_vs_1proc",
+            "backend": "cpu-virtual (4 devices total, 2-core host)",
+            "b_global": B, "t_1proc_ms": t1[0], "t_2proc_ms": max(t2),
+            "efficiency": round(eff, 3)}
+    print(f"dp process-boundary scaling: {blob}")
+    out = os.path.join(os.path.dirname(__file__), "..", "results",
+                       "multihost_scaling.json")
+    import json
+    with open(out, "w") as f:
+        json.dump(blob, f, indent=1)
+    assert eff > 0.5, blob
