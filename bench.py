@@ -87,6 +87,45 @@ def main():
     log(f"(full chain at {samples_s/20e6:.1f}x realtime vs 20 Msps; the "
         f"reference decode stage ALONE caps at {ref_pkts_s:,.0f} pkt/s on "
         f"its benchmark CPU, and its full chain is slower still)")
+
+    # --- low-SNR floor: the syndrome gate fails on every row, so the full
+    # Pallas Viterbi sweep runs each batch (the reference pays this path at
+    # EVERY SNR); same compiled program, only the noise level differs.
+    stream_low = np.zeros_like(stream)
+    for i in range(B):
+        stream_low[1024 + i * spacing: 1024 + i * spacing + len(wave)] = w
+    stream_low += (rng.normal(size=len(stream))
+                   + 1j * rng.normal(size=len(stream))
+                   ).astype(np.complex64) * (rms / 10 ** (18 / 20)
+                                             / np.sqrt(2))
+    dev_low = from_host(stream_low[None])
+    n_ok_low, n_det_low = (int(x) for x in full_chain(dev_low))
+    t0 = time.perf_counter()
+    outs = [full_chain(dev_low) for _ in range(n_rep)]
+    int(outs[-1][0])
+    dt_low = (time.perf_counter() - t0) / n_rep
+    pkts_s_low = B / dt_low
+    log(f"low-SNR floor (18 dB, full-Viterbi fallback every batch): "
+        f"{dt_low*1e3:.1f} ms/batch; {pkts_s_low:,.0f} pkt/s processed; "
+        f"fcs ok {n_ok_low}/{B} (channel-limited at this SNR for 64-QAM 3/4); "
+        f"{pkts_s_low/ref_pkts_s:.2f}x ref ceiling")
+
+    import os
+    os.makedirs("results", exist_ok=True)
+    with open("results/bench_envelope.json", "w") as f:
+        json.dump({
+            "config": "VHT mcs7 1ss 500B, B=4096, one chip",
+            "high_snr_32dB": {"ms_per_batch": round(dt * 1e3, 1),
+                              "pkt_per_s": round(pkts_s, 1),
+                              "n_ok": n_ok,
+                              "vs_ref_ceiling": round(pkts_s / ref_pkts_s, 2)},
+            "low_snr_floor_18dB": {"ms_per_batch": round(dt_low * 1e3, 1),
+                                   "pkt_per_s_processed": round(pkts_s_low, 1),
+                                   "n_ok": n_ok_low, "n_det": n_det_low,
+                                   "vs_ref_ceiling": round(
+                                       pkts_s_low / ref_pkts_s, 2)},
+        }, f, indent=1)
+
     print(json.dumps({
         "metric": "rx_full_chain_packets_per_s_per_chip_vht_mcs7_500B",
         "value": round(pkts_s, 1),

@@ -111,6 +111,26 @@ def test_rx_chain_count_fused():
     assert int(n_det) == 5 and int(n_ok) == 5
 
 
+def test_rx_chain_count_chunked_matches():
+    """chunk= decodes the synced batch in lax.scan chunks INSIDE the one
+    program (bounds the Viterbi decision-plane HBM for long trellises);
+    counts must match the unchunked program exactly."""
+    from gr_ieee80211_tpu.models.rx import rx_chain_count
+    from gr_ieee80211_tpu.ops.cplx import from_host
+    rng = np.random.default_rng(53)
+    mpdu, payload, cfg = _mk(rng, Fmt.VHT, 7, 1)
+    wave = gtx.tx_waveform(cfg, payload, group_id=0, partial_aid=0)
+    stream = channel.frame_stream(wave[0], 1.0, 900.0, num=5, gap=500)
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.awgn(stream, rms / 10 ** (32 / 20), rng)
+    dev = from_host(stream)
+    ref = tuple(int(x) for x in rx_chain_count(
+        cfg, dev, nrx=1, mpdu_len=len(mpdu), max_pkts=8))
+    chunked = tuple(int(x) for x in rx_chain_count(
+        cfg, dev, nrx=1, mpdu_len=len(mpdu), max_pkts=8, chunk=4))
+    assert chunked == ref == (5, 5)
+
+
 def test_rx_engine_multi_mpdu_ampdu():
     """3-MPDU VHT A-MPDU: delimiter walk recovers every subframe."""
     rng = np.random.default_rng(61)
