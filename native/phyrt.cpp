@@ -277,6 +277,16 @@ void* phyrt_udp_ingest_start(void* rb_handle, int port) {
   u->port = ntohs(addr.sin_port);
   timeval tv{0, 100000};  // 100 ms poll so stop() is responsive
   setsockopt(u->fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+  // Default rmem (~208 KB) holds only ~6 of the 32 KB sample datagrams a
+  // TX burst + block flush emits back-to-back; if this thread is preempted
+  // the kernel drops datagrams and the packet's IQ is corrupted mid-air
+  // (observed as intermittent small-packet loss in the latency harness).
+  // SO_RCVBUFFORCE bypasses rmem_max when running as root; fall back to
+  // the capped SO_RCVBUF otherwise.
+  int rcvbuf = 16 << 20;
+  if (setsockopt(u->fd, SOL_SOCKET, SO_RCVBUFFORCE, &rcvbuf,
+                 sizeof(rcvbuf)) < 0)
+    setsockopt(u->fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
   u->th = std::thread([u, rb]() {
     std::vector<float> pkt(2 * 8192);
     while (!u->stop.load(std::memory_order_relaxed)) {
