@@ -125,22 +125,16 @@ def _sync_core(stream: CF, trigs: jax.Array):
     """Candidate triggers -> (ltf_idx abs, peak, cfo).
 
     ONE stream gather of (B, 464) at the trigger covers the STF window
-    [0:80), the LTF search span [80:448) and the fine-CFO window at
-    ltf_idx (<= trig+208, +128 < 464); the 128-sample CFO window is a
-    cheap per-row slice of the already-gathered block.  The gather is
-    bf16-staged: ~49 dB SQNR is far below channel noise at any decodable
-    SNR, and the timing metric / CFO averages are 64-sample reductions."""
+    [0:80) and the LTF search span [80:448); the fine CFO reads the
+    already-computed lag-64 autocorrelation lane at the chosen offset
+    (ltf_fine_sync_cfo), so no second per-row window is fetched.  The
+    gather is bf16-staged: ~49 dB SQNR is far below channel noise at any
+    decodable SNR, and the timing metric / CFO averages are 64-sample
+    reductions."""
     wins = FE.gather_windows_bf16(stream, trigs, 464)
-    off, peak = FE.ltf_fine_sync(wins[:, 80: 448])
-    ltf_off = 80 + off                         # ltf_idx - trig, in [80, 208]
     cfo0 = FE.coarse_cfo_batch(wins[:, :80])
-
-    def row128(re, im, o):
-        return (jax.lax.dynamic_slice(re, (o,), (128,)),
-                jax.lax.dynamic_slice(im, (o,), (128,)))
-
-    lre, lim = jax.vmap(row128)(wins.re, wins.im, ltf_off)
-    cfo = FE.fine_cfo_batch(CF(lre, lim), cfo0)
+    off, peak, cfo = FE.ltf_fine_sync_cfo(wins[:, 80: 448], cfo0)
+    ltf_off = 80 + off                         # ltf_idx - trig, in [80, 208]
     return trigs + ltf_off, peak, cfo
 
 

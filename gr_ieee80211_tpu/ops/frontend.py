@@ -263,6 +263,50 @@ def ltf_fine_sync(wins: CF):
 
 
 @jax.jit
+def ltf_fine_sync_cfo(wins: CF, cfo0: jax.Array):
+    """Fused fine timing + fine CFO on (B, 368) windows at trigger+80.
+
+    Same shoulder-midpoint timing as :func:`ltf_fine_sync`, but the fine
+    CFO comes for free from the lag-64 autocorrelation the timing metric
+    already computed: the 128-sample CFO window at the chosen offset is
+    exactly one lane of the movsum, so the separate per-row 128-sample
+    gather + derotation + product pass of the (row128 -> fine_cfo_batch)
+    path disappears.  The lag-64 angle is +-156 kHz ambiguous; the coarse
+    STF estimate ``cfo0`` resolves the wrap (identical math to
+    fine_cfo_batch, which derotates by cfo0 first — here the rotation is
+    added to the angle instead of the samples).
+
+    Returns (offset (B,) int32, peak (B,), cfo_hz (B,)).
+    """
+    B, n = wins.shape
+    npts = n - 128
+    prod = wins[:, : n - 64].mul_conj(wins[:, 64:])
+    a = _movsum_cf(prod, 64)                       # (B, n-127)
+    pw = _movsum(wins.abs2(), 64)
+    den = jnp.sqrt(jnp.maximum(pw[:, :npts] * pw[:, 64: 64 + npts], 1e-24))
+    ac = a[:, :npts].abs() / den
+    k = jnp.argmax(ac, axis=1)
+    peak = jnp.take_along_axis(ac, k[:, None], axis=1)[:, 0]
+    idx = np.arange(npts)
+    tgt = 0.8 * peak[:, None]
+    d = jnp.abs(ac - tgt)
+    in_l = (idx[None, :] <= k[:, None]) & (idx[None, :] >= k[:, None] - 32)
+    in_r = (idx[None, :] >= k[:, None]) & (idx[None, :] <= k[:, None] + 32)
+    big = jnp.full_like(d, 1e9)
+    lo = jnp.argmin(jnp.where(in_l, d, big), axis=1)
+    hi = jnp.argmin(jnp.where(in_r, d, big), axis=1)
+    mid = (lo + hi) // 2 + 8                       # see ltf_fine_sync
+    ci = jnp.clip(mid, 0, a.shape[1] - 1)[:, None]
+    s_re = jnp.take_along_axis(a.re, ci, axis=1)[:, 0]
+    s_im = jnp.take_along_axis(a.im, ci, axis=1)[:, 0]
+    phase0 = 2 * np.pi * 64.0 * cfo0 / FS
+    ang = jnp.arctan2(s_im, s_re) + phase0
+    ang = ang - 2 * np.pi * jnp.round(ang / (2 * np.pi))   # wrap to [-pi, pi)
+    cfo = cfo0 - ang / 64 / (2 * np.pi) * FS
+    return mid.astype(jnp.int32), peak, cfo
+
+
+@jax.jit
 def coarse_cfo_batch(stf_wins: CF) -> jax.Array:
     """(B, >=80) windows at the trigger -> CFO Hz from lag-16 autocorr."""
     prod = stf_wins[:, :64].mul_conj(stf_wins[:, 16:80])
@@ -287,18 +331,20 @@ def _derotate_factored(wins: CF, cfo: jax.Array, n: int) -> CF:
     sin/cos lower to ~15-op polynomial chains on the VPU; computing the
     (B, n) rotation directly makes transcendentals the derotation cost.
     exp(j w t) = exp(j w 64 q) * exp(j w r) needs only (B, n/64 + 64)
-    of them plus one extra complex multiply per sample (~6 VPU ops)."""
+    of them.  The factors multiply the samples as two BROADCAST complex
+    products (by the lane phasor, then the block phasor) instead of
+    materializing the (B, n) rotation tensor: one extra complex multiply
+    per sample, but ~140 MB less HBM traffic at (4096, 2116)."""
     B = wins.shape[0]
     w = (-2 * np.pi / FS) * cfo                      # (B,) rad/sample
     n_hi = -(-n // 64)
     hi = expj(w[:, None] * (64.0 * np.arange(n_hi, dtype=np.float32))[None])
     lo = expj(w[:, None] * np.arange(64, dtype=np.float32)[None])
-    rot = CF(hi.re[:, :, None], hi.im[:, :, None]) * \
-        CF(lo.re[:, None, :], lo.im[:, None, :])     # (B, n_hi, 64)
     pad = n_hi * 64 - n
     re = jnp.pad(wins.re, ((0, 0), (0, pad))).reshape(B, n_hi, 64)
     im = jnp.pad(wins.im, ((0, 0), (0, pad))).reshape(B, n_hi, 64)
-    out = CF(re, im) * rot
+    out = CF(re, im) * CF(lo.re[:, None, :], lo.im[:, None, :])
+    out = out * CF(hi.re[:, :, None], hi.im[:, :, None])
     return CF(out.re.reshape(B, -1)[:, :n], out.im.reshape(B, -1)[:, :n])
 
 

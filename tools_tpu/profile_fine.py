@@ -51,13 +51,16 @@ def main():
     trigs = jnp.asarray(trigs_np)
     print(f"backend={jax.default_backend()} B={B}", flush=True)
 
-    def timeit(name, fn, *a, n=6):
+    def timeit(name, fn, *a, n=12):
+        # pipelined: queue n dispatches, ONE readback at the end — the ~26 ms
+        # relay round trip amortizes to ~2 ms/call; per-call device time is
+        # the drain rate (block_until_ready does not block on this backend)
         s = jax.jit(lambda *a: jnp.sum(
             jax.tree_util.tree_leaves(fn(*a))[0][..., :1].astype(jnp.float32)))
         float(s(*a))
         t0 = time.perf_counter()
-        for _ in range(n):
-            float(s(*a))
+        rs = [s(*a) for _ in range(n)]
+        float(rs[-1])
         t = (time.perf_counter() - t0) / n
         print(f"{name:28s} {t*1e3:8.2f} ms", flush=True)
         return fn(*a)
