@@ -233,33 +233,11 @@ def ltf_fine_sync(wins: CF):
     """Per-packet L-LTF timing on (B, 368) windows starting at trigger+80.
 
     Returns (offsets (B,), peak (B,)): offset of the chosen ltf_idx within
-    the window (mid of the 80% shoulders of the lag-64 autocorr peak, +10).
-    """
-    B, n = wins.shape
-    npts = n - 128
-    prod = wins[:, : n - 64].mul_conj(wins[:, 64:])
-    a = _movsum_cf(prod, 64)[:, :npts]
-    pw = _movsum(wins.abs2(), 64)
-    den = jnp.sqrt(jnp.maximum(pw[:, :npts] * pw[:, 64: 64 + npts], 1e-24))
-    ac = a.abs() / den
-    k = jnp.argmax(ac, axis=1)
-    peak = jnp.take_along_axis(ac, k[:, None], axis=1)[:, 0]
-    idx = np.arange(npts)
-    tgt = 0.8 * peak[:, None]
-    d = jnp.abs(ac - tgt)
-    in_l = (idx[None, :] <= k[:, None]) & (idx[None, :] >= k[:, None] - 32)
-    in_r = (idx[None, :] >= k[:, None]) & (idx[None, :] <= k[:, None] + 32)
-    big = jnp.full_like(d, 1e9)
-    lo = jnp.argmin(jnp.where(in_l, d, big), axis=1)
-    hi = jnp.argmin(jnp.where(in_r, d, big), axis=1)
-    # Aim the sampling point EARLY into the GI (reference C8P_SYM_SAMP_SHIFT=8,
-    # lib/cloud80211phy.h:33): the TX blends the edge samples of every symbol
-    # (PY-TB procConcat2Symbol), so an FFT window that starts exactly at
-    # GI+16 picks up a blended boundary sample (0.09 EVM noiseless).  The
-    # shoulder midpoint jitters about +-6 around (true - 4), so a +8 bias
-    # keeps the earliness within the safe [2, 14] span (GI is 16).
-    mid = (lo + hi) // 2 + 8
-    return mid.astype(jnp.int32), peak
+    the window (mid of the 80% shoulders of the lag-64 autocorr peak, +8).
+    Thin wrapper over :func:`ltf_fine_sync_cfo` (single source of truth
+    for the timing algorithm) discarding the CFO output."""
+    off, peak, _ = ltf_fine_sync_cfo(wins, jnp.zeros(wins.shape[0]))
+    return off, peak
 
 
 @jax.jit
@@ -295,7 +273,13 @@ def ltf_fine_sync_cfo(wins: CF, cfo0: jax.Array):
     big = jnp.full_like(d, 1e9)
     lo = jnp.argmin(jnp.where(in_l, d, big), axis=1)
     hi = jnp.argmin(jnp.where(in_r, d, big), axis=1)
-    mid = (lo + hi) // 2 + 8                       # see ltf_fine_sync
+    # Aim the sampling point EARLY into the GI (reference C8P_SYM_SAMP_SHIFT=8,
+    # lib/cloud80211phy.h:33): the TX blends the edge samples of every symbol
+    # (PY-TB procConcat2Symbol), so an FFT window that starts exactly at
+    # GI+16 picks up a blended boundary sample (0.09 EVM noiseless).  The
+    # shoulder midpoint jitters about +-6 around (true - 4), so a +8 bias
+    # keeps the earliness within the safe [2, 14] span (GI is 16).
+    mid = (lo + hi) // 2 + 8
     ci = jnp.clip(mid, 0, a.shape[1] - 1)[:, None]
     s_re = jnp.take_along_axis(a.re, ci, axis=1)[:, 0]
     s_im = jnp.take_along_axis(a.im, ci, axis=1)[:, 0]

@@ -203,9 +203,11 @@ def main():
                 (sys.argv[1].split(",") if len(sys.argv) > 1
                  else range(9))]
     n_pkts = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    batches = tuple(int(x) for x in sys.argv[3].split(",")) \
+        if len(sys.argv) > 3 else (1, 256, 4096)
     payload_lens = (30, 300)
 
-    fused = run_fused_latency(mcs_list, payload_lens)
+    fused = run_fused_latency(mcs_list, payload_lens, batches=batches)
     daemon = run_daemon_rtt(mcs_list, payload_lens, n_pkts)
 
     os.makedirs("results", exist_ok=True)
