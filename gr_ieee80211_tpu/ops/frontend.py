@@ -91,9 +91,12 @@ _DET_OV = 96  # lag 16 + 48-corr window + chunk alignment lookahead
 
 
 def _chunk4_rows(x: jax.Array) -> jax.Array:
+    """Sum every DETECT_STRIDE lanes, accumulating in f32 (inputs may be
+    bf16: the downstream moving sums are cumsum-differences and need f32)."""
     r, n = x.shape
     n4 = n // DETECT_STRIDE
-    return x[:, : n4 * DETECT_STRIDE].reshape(r, n4, DETECT_STRIDE).sum(axis=-1)
+    return (x[:, : n4 * DETECT_STRIDE].reshape(r, n4, DETECT_STRIDE)
+            .astype(jnp.float32).sum(axis=-1))
 
 
 @jax.jit
@@ -101,7 +104,12 @@ def stf_metric_strided(x: CF) -> jax.Array:
     """Plateau metric at DETECT_STRIDE positions: m4[k] ~= m[4k], flat (n//4,).
 
     Internally row-blocked: each row computes its ROW-sample span from
-    ROW+_DET_OV samples, so all moving sums are short-axis 2-D ops.
+    ROW+_DET_OV samples, so all moving sums are short-axis 2-D ops.  The
+    lag-16 products run in bf16 (the stream's bf16 staging copy is shared
+    with the window gathers by XLA CSE inside a fused chain program) and
+    accumulate in f32: the metric is a ~O(1) ratio against a 0.3
+    threshold, so the ~0.4% product rounding is irrelevant — and the big
+    streaming reads halve.
     """
     s = DETECT_STRIDE
     n = x.shape[-1]
@@ -112,7 +120,7 @@ def stf_metric_strided(x: CF) -> jax.Array:
     pad = (n_rows + 1) * DETECT_ROW - n
 
     def mk(v):
-        vp = jnp.pad(v, (0, pad))
+        vp = jnp.pad(v.astype(jnp.bfloat16), (0, pad))
         main = vp[: n_rows * DETECT_ROW].reshape(n_rows, DETECT_ROW)
         ov = vp[DETECT_ROW:].reshape(n_rows, DETECT_ROW)[:, :_DET_OV]
         return jnp.concatenate([main, ov], axis=1)

@@ -82,7 +82,9 @@ def main():
     a0, a1 = mac.ampdu_aggregate_vht([m0]), mac.ampdu_aggregate_vht([m1])
     mu = MuConfig((PhyConfig(Fmt.VHT, 3, 1, len(a0), ampdu=True),
                    PhyConfig(Fmt.VHT, 2, 1, len(a1), ampdu=True)), group_id=2)
-    q56 = sounding.zf_q(np.stack(h_sta)[:, 0])
+    # frequency-flat per-user rows -> per-subcarrier (nsts, ntx, 56) stack
+    h_rows = np.stack([np.repeat(h[0][:, None], 56, axis=1) for h in h_sta])
+    q56 = sounding.zf_q(h_rows)
     muw = tx.tx_waveform_mu(mu, [a0, a1], sounding.q_to_grid(q56))
     mburst = channel.apply_cfo(
         channel.mimo_channel(muw, h_sta[0])[0], 300.0).astype(np.complex64)
