@@ -22,7 +22,7 @@ kept, within-``n_real`` positions):
 * syndrome == 0 everywhere   -> the algebraic inverse IS the Viterbi
   output on the real region (codeword-prefix case) — no trellis sweep;
 * 0 < n_fail <= tier         -> only failing rows are gathered into the
-  smallest sufficient lane tile (fallback, then 4x fallback) and run
+  smallest sufficient lane tile (fallback, 4x, 16x fallback) and run
   through the Pallas Viterbi;
 * n_fail > largest tier      -> the whole batch falls back to the full
   Pallas Viterbi sweep (exact at any SNR).
@@ -223,8 +223,9 @@ def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
     Returns (B, n_trellis) uint8 — identical to the pure Viterbi path on
     every row whose decode matters: zero-syndrome rows are codeword
     prefixes (fast path IS the ML output); other rows run the real
-    Viterbi via a tiered lane-tile ladder (fallback, 4x fallback, full
-    batch) so mid-SNR batches with few bad rows avoid the full sweep.
+    Viterbi via a tiered lane-tile ladder (fallback, 4x, 16x fallback,
+    full batch) so mid-SNR batches with few bad rows avoid the full
+    sweep.
     """
     B = coded_llr.shape[0]
     pairs, d8, syn = inverse_and_syndrome(coded_llr, cr, n_trellis, n_real)
@@ -238,7 +239,12 @@ def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
         def tile(_):
             idx = jnp.nonzero(need, size=k, fill_value=B)[0]
             rows = jnp.minimum(idx, B - 1)
-            bits = viterbi_decode_pallas(pairs[rows])      # (k, T) uint8
+            # "auto": small tiles on long trellises decode segmented —
+            # the monolithic sweep's sequential span costs the same at
+            # 128 lanes as at 1024, so spreading segments across the
+            # idle lanes cuts the tile path ~4x
+            bits = viterbi_decode_pallas(pairs[rows],
+                                         segmented="auto")  # (k, T) uint8
             return d8.at[idx].set(bits, mode="drop")
         return tile
 
@@ -246,7 +252,7 @@ def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
         return viterbi_decode_pallas(pairs)
 
     body = full
-    for k in [t for t in (4 * fallback, fallback) if t < B]:
+    for k in [t for t in (16 * fallback, 4 * fallback, fallback) if t < B]:
         def tier(_, k=k, nxt=body):
             return jax.lax.cond(n_fail <= k, tile_fn(k), nxt, None)
         body = tier

@@ -258,8 +258,33 @@ def traceback_sweep(dec_lo: jax.Array, dec_hi: jax.Array,
     )(dec_lo, dec_hi, mask0)
 
 
+def _seg_geometry(B: int, T: int):
+    """(S, K, seg_t, Bp) the segmented decode would use for (B, T)."""
+    S = max(2, -(-T // SEG_TARGET_K))
+    K = -(-T // S)
+    seg_t = -(-(K + 2 * SEG_OVERLAP) // T_CHUNK) * T_CHUNK
+    if B <= B_TILE:
+        Bp = max(128, 1 << (B - 1).bit_length())   # divides B_TILE
+    else:
+        Bp = -(-B // B_TILE) * B_TILE
+    return S, K, seg_t, Bp
+
+
+def segmented_pays(B: int, T: int) -> bool:
+    """True when the segmented decode costs fewer lane-tile steps than the
+    monolithic sweep: small batches on long trellises underutilize the
+    1024-lane tile while paying the full sequential span, so spreading T
+    segments across idle lanes wins; at full tiles the ~20% overlap
+    overhead loses."""
+    S, _, seg_t, Bp = _seg_geometry(B, T)
+    tiles_seg = -(-S * Bp // B_TILE)
+    Tp = -(-T // T_CHUNK) * T_CHUNK
+    tiles_mono = -(-_pad_batch(B) // B_TILE)
+    return tiles_seg * seg_t < tiles_mono * Tp
+
+
 def viterbi_decode_pallas(llr_pairs: jax.Array,
-                          segmented: bool = False) -> jax.Array:
+                          segmented: bool | str = False) -> jax.Array:
     """Drop-in for ops.viterbi.viterbi_decode (traceback from state 0).
 
     llr_pairs: (B, T, 2) float32 -> (B, T) uint8.  Pads T to a T_CHUNK
@@ -270,11 +295,15 @@ def viterbi_decode_pallas(llr_pairs: jax.Array,
     decoded as extra batch rows (see _viterbi_decode_segmented): bit-
     identical at working SNR, ~4x lower per-packet latency and ~T/1k-fold
     smaller sequential span for multi-core scaling, but ~20% MORE total
-    work — on this single-core chip the monolithic sweep has the higher
-    throughput, so it stays the default.
+    work at FULL lane tiles — the monolithic sweep stays the default for
+    big batches.  segmented="auto" picks by the tile-step cost model
+    (:func:`segmented_pays`): small-batch fallback tiles on long
+    trellises go segmented, full batches stay monolithic.
     """
     B, n_steps, _ = llr_pairs.shape
     interp = not _on_tpu()
+    if segmented == "auto":
+        segmented = segmented_pays(B, n_steps)
     if segmented:
         return _viterbi_decode_segmented(llr_pairs, interpret=interp)
     Tp = -(-n_steps // T_CHUNK) * T_CHUNK
@@ -303,12 +332,10 @@ def _viterbi_decode_segmented(llr_pairs: jax.Array,
                               interpret: bool = False) -> jax.Array:
     B, n_steps, _ = llr_pairs.shape
     W = SEG_OVERLAP
-    S = max(2, -(-n_steps // SEG_TARGET_K))
-    K = -(-n_steps // S)
-    seg_t = -(-(K + 2 * W) // T_CHUNK) * T_CHUNK
-    # full-tile padding here: the expanded batch is S*Bp lanes and must stay
-    # a valid tile multiple for any segment count
-    Bp = -(-B // B_TILE) * B_TILE
+    S, K, seg_t, Bp = _seg_geometry(B, n_steps)
+    # Bp divides (or is a multiple of) B_TILE, so lane tiles of the
+    # segment-major expanded batch never straddle a segment boundary —
+    # small fallback tiles no longer pad to a full 1024 lanes
     # segment s>0 covers original steps [s*K, (s+1)*K) with its ACS window
     # starting W steps early (warmup from uniform metrics); segment 0 keeps
     # the exact state-0 pin and starts at step 0 with no warmup.  All
