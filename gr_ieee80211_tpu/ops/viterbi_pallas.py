@@ -158,7 +158,8 @@ def acs_sweep(llr0: jax.Array, llr1: jax.Array, pm0: jax.Array | None = None,
     """
     n_steps, B = llr0.shape
     bt = _lane_tile(B)
-    assert n_steps % T_CHUNK == 0 and B % bt == 0 and B % 128 == 0
+    assert n_steps % T_CHUNK == 0 and B % bt == 0 and B % 128 == 0, \
+        (n_steps, B, bt)
     if pm0 is None:
         pm0 = state0_metrics(B)
     grid = (B // bt, n_steps // T_CHUNK)
@@ -259,7 +260,13 @@ def traceback_sweep(dec_lo: jax.Array, dec_hi: jax.Array,
 
 
 def _seg_geometry(B: int, T: int):
-    """(S, K, seg_t, Bp) the segmented decode would use for (B, T)."""
+    """(S, K, seg_t, Bp, S_pad) the segmented decode uses for (B, T).
+
+    S_pad >= S adds dummy zero segments so the expanded S_pad*Bp lane
+    batch is tileable with no tile straddling a segment boundary: Bp
+    always divides B_TILE (power-of-two >= 128) or is a multiple of it,
+    so when S*Bp exceeds one tile, S rounds up to a multiple of
+    B_TILE // Bp."""
     S = max(2, -(-T // SEG_TARGET_K))
     K = -(-T // S)
     seg_t = -(-(K + 2 * SEG_OVERLAP) // T_CHUNK) * T_CHUNK
@@ -267,7 +274,11 @@ def _seg_geometry(B: int, T: int):
         Bp = max(128, 1 << (B - 1).bit_length())   # divides B_TILE
     else:
         Bp = -(-B // B_TILE) * B_TILE
-    return S, K, seg_t, Bp
+    S_pad = S
+    if S * Bp > B_TILE and (S * Bp) % B_TILE:
+        r = B_TILE // Bp
+        S_pad = -(-S // r) * r
+    return S, K, seg_t, Bp, S_pad
 
 
 def segmented_pays(B: int, T: int) -> bool:
@@ -276,8 +287,8 @@ def segmented_pays(B: int, T: int) -> bool:
     1024-lane tile while paying the full sequential span, so spreading T
     segments across idle lanes wins; at full tiles the ~20% overlap
     overhead loses."""
-    S, _, seg_t, Bp = _seg_geometry(B, T)
-    tiles_seg = -(-S * Bp // B_TILE)
+    S, _, seg_t, Bp, S_pad = _seg_geometry(B, T)
+    tiles_seg = -(-S_pad * Bp // B_TILE)
     Tp = -(-T // T_CHUNK) * T_CHUNK
     tiles_mono = -(-_pad_batch(B) // B_TILE)
     return tiles_seg * seg_t < tiles_mono * Tp
@@ -332,10 +343,11 @@ def _viterbi_decode_segmented(llr_pairs: jax.Array,
                               interpret: bool = False) -> jax.Array:
     B, n_steps, _ = llr_pairs.shape
     W = SEG_OVERLAP
-    S, K, seg_t, Bp = _seg_geometry(B, n_steps)
-    # Bp divides (or is a multiple of) B_TILE, so lane tiles of the
-    # segment-major expanded batch never straddle a segment boundary —
-    # small fallback tiles no longer pad to a full 1024 lanes
+    S, K, seg_t, Bp, S_pad = _seg_geometry(B, n_steps)
+    # Bp divides (or is a multiple of) B_TILE and S pads to S_pad with
+    # dummy zero segments, so lane tiles of the segment-major expanded
+    # batch never straddle a segment boundary — and small fallback tiles
+    # no longer pad to a full 1024 lanes
     # segment s>0 covers original steps [s*K, (s+1)*K) with its ACS window
     # starting W steps early (warmup from uniform metrics); segment 0 keeps
     # the exact state-0 pin and starts at step 0 with no warmup.  All
@@ -347,21 +359,25 @@ def _viterbi_decode_segmented(llr_pairs: jax.Array,
     win = starts[:, None] + np.arange(seg_t)[None, :]   # (S, seg_t)
     l0s = x[:, :, 0][:, win]                            # (Bp, S, seg_t)
     l1s = x[:, :, 1][:, win]
-    # expanded batch, segment-major so lane tiles never mix segments
+    # expanded batch, segment-major so lane tiles never mix segments;
+    # dummy zero-LLR segments pad to a whole tile count (S_pad >= S)
     llr0e = l0s.transpose(2, 1, 0).reshape(seg_t, S * Bp)
     llr1e = l1s.transpose(2, 1, 0).reshape(seg_t, S * Bp)
+    if S_pad > S:
+        llr0e = jnp.pad(llr0e, ((0, 0), (0, (S_pad - S) * Bp)))
+        llr1e = jnp.pad(llr1e, ((0, 0), (0, (S_pad - S) * Bp)))
     pm0 = jnp.concatenate(
-        [state0_metrics(Bp), jnp.zeros((64, (S - 1) * Bp), jnp.float32)],
+        [state0_metrics(Bp), jnp.zeros((64, (S_pad - 1) * Bp), jnp.float32)],
         axis=1)
     dec_lo, dec_hi, pm_f = acs_sweep(llr0e, llr1e, pm0, interpret=interpret)
     # traceback from the ML end state of each window (for the last, tail
     # segment this is state 0 via the zero tail bits at working SNR)
-    best = jnp.argmax(pm_f, axis=0)                     # (S*Bp,)
-    row = jax.lax.broadcasted_iota(jnp.int32, (64, S * Bp), 0)
+    best = jnp.argmax(pm_f, axis=0)                     # (S_pad*Bp,)
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, S_pad * Bp), 0)
     mask0 = (row == best[None, :]).astype(jnp.float32)
     bits = traceback_sweep(dec_lo, dec_hi, mask0,
-                           interpret=interpret)        # (seg_t, S*Bp)
-    bits = bits.reshape(seg_t, S, Bp)
+                           interpret=interpret)        # (seg_t, S_pad*Bp)
+    bits = bits.reshape(seg_t, S_pad, Bp)
     kept = [bits[offs[s]: offs[s] + K, s] for s in range(S)]  # (K, Bp) each
     out = jnp.stack(kept, axis=0).transpose(2, 0, 1).reshape(Bp, S * K)
     return out[:B, :n_steps].astype(jnp.uint8)

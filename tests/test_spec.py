@@ -149,6 +149,25 @@ def test_viterbi_segmented_matches_monolithic():
     assert np.array_equal(mono, msg)
 
 
+def test_viterbi_segmented_geometry_traces():
+    """The expanded segment batch must tile cleanly for every fallback
+    tier x realistic trellis length (the S*Bp=2560-lane case broke the
+    1024-lane tiling on TPU before S_pad dummy segments)."""
+    import jax
+    import jax.numpy as jnp
+    from gr_ieee80211_tpu.ops.viterbi_pallas import (
+        viterbi_decode_pallas, _seg_geometry, B_TILE)
+    for B_ in (128, 256, 512, 2048):
+        for T_ in (1040, 2288, 4420, 5304, 33000):
+            S, _, _, Bp, S_pad = _seg_geometry(B_, T_)
+            L = S_pad * Bp
+            assert L % 128 == 0 and (L <= B_TILE or L % B_TILE == 0), \
+                (B_, T_, S, Bp, S_pad)
+            jax.eval_shape(
+                lambda x: viterbi_decode_pallas(x, segmented=True),
+                jax.ShapeDtypeStruct((B_, T_, 2), jnp.float32))
+
+
 def test_viterbi_pallas_adaptive_lane_tile():
     """Sub-tile batches decode at their own lane width (no 1024-pad)."""
     import jax.numpy as jnp
