@@ -125,6 +125,9 @@ def main():
             }
             print(f"{fname} mcs{mcs}: {time.time()-t0:.1f}s  "
                   + " ".join(f"{p:.2f}" for p in pers), file=sys.stderr)
+            # incremental dump: a time-boxed run still lands its artifact
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
