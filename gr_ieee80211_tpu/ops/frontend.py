@@ -79,8 +79,12 @@ def stf_metrics(x: CF):
 
 #: detection decimation: the STF plateau spans ~100 samples, so evaluating
 #: the metric every DETECT_STRIDE samples keeps detection intact while
-#: cutting the streaming prefix-sum work 4x; sync refines timing anyway.
-DETECT_STRIDE = 4
+#: cutting the streaming prefix-sum work 8x; sync refines timing anyway
+#: (the LTF search spans [trig+80, trig+448), far beyond the <=8-sample
+#: trigger quantization).  Raised 4 -> 8 in round 3: the plateau rule
+#: becomes run=5 strided points = 40 samples, still well inside the
+#: plateau, and the PER detection limb is re-validated by the sweeps.
+DETECT_STRIDE = 8
 
 
 #: row length for the 2-D detection layout: megasample 1-D streaming programs
@@ -147,7 +151,10 @@ def detect_plateaus_strided(m4: jax.Array, thresh: float = 0.3,
 
 
 _COMPACT_ROW = 512
-_COMPACT_K = 6
+#: max plateau starts per 512-lane row: packets are >= ~720 samples apart
+#: (TRIG_DEDUP_SPACING), i.e. >= 90 strided points at DETECT_STRIDE=8, so
+#: a row holds at most ceil(512/90)+1 = 7 starts; K=8 leaves margin
+_COMPACT_K = 8
 
 
 def _compact_indices(start: jax.Array, max_out: int) -> jax.Array:
@@ -155,9 +162,9 @@ def _compact_indices(start: jax.Array, max_out: int) -> jax.Array:
 
     ``jnp.nonzero`` over a multi-megapoint vector costs ~23 ms on TPU; this
     two-level scheme extracts the first K set positions of each 512-lane row
-    with K vectorized argmin passes (plateau starts are >=180 strided points
-    apart, so K=6 per row is unreachable), then runs the cheap nonzero over
-    the (rows*K,) candidate list only.
+    with K=_COMPACT_K vectorized argmin passes (see the bound at its
+    definition), then runs the cheap nonzero over the (rows*K,) candidate
+    list only.
     """
     n = start.shape[-1]
     R = -(-n // _COMPACT_ROW)
