@@ -108,12 +108,10 @@ def stf_metric_strided(x: CF) -> jax.Array:
     """Plateau metric at DETECT_STRIDE positions: m4[k] ~= m[4k], flat (n//4,).
 
     Internally row-blocked: each row computes its ROW-sample span from
-    ROW+_DET_OV samples, so all moving sums are short-axis 2-D ops.  The
-    lag-16 products run in bf16 (the stream's bf16 staging copy is shared
-    with the window gathers by XLA CSE inside a fused chain program) and
-    accumulate in f32: the metric is a ~O(1) ratio against a 0.3
-    threshold, so the ~0.4% product rounding is irrelevant — and the big
-    streaming reads halve.
+    ROW+_DET_OV samples, so all moving sums are short-axis 2-D ops.
+    (A bf16 variant of the lag-16 products was tried in round 3 and
+    REVERTED: it broke the product/chunk-sum fusion and cost ~3 ms at
+    B=4096 instead of saving traffic.)
     """
     s = DETECT_STRIDE
     n = x.shape[-1]
@@ -124,7 +122,7 @@ def stf_metric_strided(x: CF) -> jax.Array:
     pad = (n_rows + 1) * DETECT_ROW - n
 
     def mk(v):
-        vp = jnp.pad(v.astype(jnp.bfloat16), (0, pad))
+        vp = jnp.pad(v, (0, pad))
         main = vp[: n_rows * DETECT_ROW].reshape(n_rows, DETECT_ROW)
         ov = vp[DETECT_ROW:].reshape(n_rows, DETECT_ROW)[:, :_DET_OV]
         return jnp.concatenate([main, ov], axis=1)
