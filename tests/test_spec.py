@@ -149,6 +149,61 @@ def test_viterbi_segmented_matches_monolithic():
     assert np.array_equal(mono, msg)
 
 
+def test_segmented_pays_policy():
+    """Cost model: small fallback tiles on long trellises go segmented,
+    full batches stay monolithic (the ~20% overlap overhead loses at
+    full lane tiles)."""
+    from gr_ieee80211_tpu.ops.viterbi_pallas import segmented_pays
+    assert segmented_pays(128, 4420)
+    assert segmented_pays(512, 4420)
+    assert not segmented_pays(2048, 4420)
+    assert not segmented_pays(4096, 4420)
+
+
+def test_fused_sync_cfo_matches_two_step():
+    """ltf_fine_sync_cfo == (ltf_fine_sync -> per-row 128 slice ->
+    fine_cfo_batch) on noisy packets: same offsets/peaks, CFO within
+    float rounding (the round-3 fusion must not change sync behavior)."""
+    import jax
+    import jax.numpy as jnp
+    from gr_ieee80211_tpu.ops import frontend as FE
+    from gr_ieee80211_tpu.ops.cplx import CF, from_host
+    from gr_ieee80211_tpu.gold import tx as gtx2, mac as gmac, channel
+    from gr_ieee80211_tpu.spec.params import PhyConfig, Fmt
+    rng = np.random.default_rng(17)
+    mpdu = gmac.qos_data_frame(b"y" * 60, "02:00:00:00:00:01",
+                               "02:00:00:00:00:02", "02:00:00:00:00:01", 1)
+    am = gmac.ampdu_aggregate_vht([mpdu])
+    cfg = PhyConfig(Fmt.VHT, 4, 1, len(am), ampdu=True)
+    wave = channel.apply_cfo(gtx2.tx_waveform(cfg, am)[0], 1234.0)
+    B = 8
+    stream = np.zeros(B * 3000 + 2000, np.complex64)
+    trigs = []
+    for i in range(B):
+        p = 500 + i * 3000 + int(rng.integers(0, 8))
+        stream[p: p + len(wave)] = wave
+        trigs.append(p)
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.awgn(stream, rms / 10 ** (25 / 20), rng)
+    dev = from_host(stream[None])
+    tj = jnp.asarray(np.asarray(trigs, np.int32))
+    wins = FE.gather_windows_bf16(dev[0], tj, 464)
+    cfo0 = FE.coarse_cfo_batch(wins[:, :80])
+    off_o, peak_o = FE.ltf_fine_sync(wins[:, 80:448])
+
+    def row128(re, im, o):
+        return (jax.lax.dynamic_slice(re, (o,), (128,)),
+                jax.lax.dynamic_slice(im, (o,), (128,)))
+
+    lre, lim = jax.vmap(row128)(wins.re, wins.im, 80 + off_o)
+    cfo_o = FE.fine_cfo_batch(CF(lre, lim), cfo0)
+    off_n, peak_n, cfo_n = FE.ltf_fine_sync_cfo(wins[:, 80:448], cfo0)
+    assert np.array_equal(np.asarray(off_o), np.asarray(off_n))
+    assert np.allclose(np.asarray(peak_o), np.asarray(peak_n))
+    assert np.abs(np.asarray(cfo_o) - np.asarray(cfo_n)).max() < 0.01
+    assert np.abs(np.asarray(cfo_n) - 1234.0).max() < 2000.0
+
+
 def test_viterbi_segmented_geometry_traces():
     """The expanded segment batch must tile cleanly for every fallback
     tier x realistic trellis length (the S*Bp=2560-lane case broke the
