@@ -191,14 +191,18 @@ def _syndrome(d: jax.Array, hard_flat: jax.Array, cr: str, n_trellis: int,
 
 def inverse_and_syndrome(coded_llr: jax.Array, cr: str, n_trellis: int,
                          n_real: jax.Array | None = None):
-    """Depuncture, algebraic-invert and re-encode-check a batch.
+    """Algebraic-invert and re-encode-check a batch of punctured LLRs.
 
-    Returns (pairs (B, T, 2) f32, d8 (B, T) uint8 candidate, syn (B,)
-    int32 per-row hard-error count over kept positions in [0, n_real))."""
+    Builds the depunctured HARD-bit stream directly (no f32 LLR-pair
+    tensor: the (B, T, 2) depuncture is only needed by the Viterbi
+    fallback branches, and materializing it as a lax.cond operand costs
+    ~145 MB of traffic the fast path never uses).  Returns (d8 (B, T)
+    uint8 candidate, syn (B,) int32 per-row hard-error count over kept
+    positions in [0, n_real))."""
     B = coded_llr.shape[0]
-    pairs = VXLA.depuncture(coded_llr, cr, n_trellis)      # (B, T, 2)
-    flat = pairs.reshape(B, 2 * n_trellis)
-    hard = (flat > 0).astype(jnp.float32)
+    idx, nk = VXLA.depuncture_indices(cr, n_trellis)
+    hard = jnp.zeros((B, 2 * n_trellis), jnp.float32)
+    hard = hard.at[:, idx].set((coded_llr[:, :nk] > 0).astype(jnp.float32))
     live = None
     if n_real is not None:
         live = (jnp.arange(2 * n_trellis, dtype=jnp.int32)[None, :]
@@ -206,7 +210,7 @@ def inverse_and_syndrome(coded_llr: jax.Array, cr: str, n_trellis: int,
         hard = hard * live
     d = _hard_inverse(hard, cr, n_trellis)
     syn = _syndrome(d, hard, cr, n_trellis, live)
-    return pairs, d.astype(jnp.uint8), syn
+    return d.astype(jnp.uint8), syn
 
 
 def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
@@ -228,7 +232,7 @@ def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
     sweep.
     """
     B = coded_llr.shape[0]
-    pairs, d8, syn = inverse_and_syndrome(coded_llr, cr, n_trellis, n_real)
+    d8, syn = inverse_and_syndrome(coded_llr, cr, n_trellis, n_real)
     need = syn > 0
     n_fail = jnp.sum(need.astype(jnp.int32))
 
@@ -239,17 +243,21 @@ def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
         def tile(_):
             idx = jnp.nonzero(need, size=k, fill_value=B)[0]
             rows = jnp.minimum(idx, B - 1)
+            # depuncture only the k gathered rows (the fast path never
+            # materializes the (B, T, 2) pairs tensor at all);
             # "auto": small tiles on long trellises decode segmented —
             # the monolithic sweep's sequential span costs the same at
             # 128 lanes as at 1024, so spreading segments across the
             # idle lanes cuts the tile path ~4x
-            bits = viterbi_decode_pallas(pairs[rows],
+            pairs_k = VXLA.depuncture(coded_llr[rows], cr, n_trellis)
+            bits = viterbi_decode_pallas(pairs_k,
                                          segmented="auto")  # (k, T) uint8
             return d8.at[idx].set(bits, mode="drop")
         return tile
 
     def full(_):
-        return viterbi_decode_pallas(pairs)
+        return viterbi_decode_pallas(
+            VXLA.depuncture(coded_llr, cr, n_trellis))
 
     body = full
     for k in [t for t in (16 * fallback, 4 * fallback, fallback) if t < B]:

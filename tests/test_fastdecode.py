@@ -85,7 +85,7 @@ def test_syndrome_counts_flips():
     rng = np.random.default_rng(7)
     cr, T = "5/6", 500
     llr, data, Ns = _llr_batch(rng, cr, T, 3, flips_per_row=[0, 4, 1])
-    _, _, syn = FD.inverse_and_syndrome(jnp.asarray(llr), cr, T)
+    _, syn = FD.inverse_and_syndrome(jnp.asarray(llr), cr, T)
     syn = np.asarray(syn)
     assert syn[0] == 0
     assert syn[1] >= 4 and syn[2] >= 1
@@ -119,7 +119,7 @@ def test_canon_bucket_keeps_fast_path(cr):
     n_reals = [1500, 1404, 1250, 990]
     llr, data = _canon_llr_batch(rng, cr, T_canon, n_reals)
     n_real = jnp.asarray(n_reals, jnp.int32)
-    _, d8, syn = FD.inverse_and_syndrome(jnp.asarray(llr), cr, T_canon,
+    d8, syn = FD.inverse_and_syndrome(jnp.asarray(llr), cr, T_canon,
                                          n_real=n_real)
     assert np.array_equal(np.asarray(syn), np.zeros(4, np.int32))
     out = np.asarray(FD.adaptive_decode(jnp.asarray(llr), cr, T_canon,
@@ -128,7 +128,7 @@ def test_canon_bucket_keeps_fast_path(cr):
         assert np.array_equal(out[b, :nr], data[b, :nr]), (cr, nr)
     # without n_real the garbage region poisons the syndrome (the round-2
     # failure mode this feature removes)
-    _, _, syn_bad = FD.inverse_and_syndrome(jnp.asarray(llr), cr, T_canon)
+    _, syn_bad = FD.inverse_and_syndrome(jnp.asarray(llr), cr, T_canon)
     assert np.asarray(syn_bad)[1:].min() > 0
 
 

@@ -96,7 +96,7 @@ def main():
         return OF.deinterleave_deparse(llr, cfg)
 
     coded = timeit("payload: chanest..deintlv", to_coded, xs)
-    _, d8, syn = timeit(
+    d8, syn = timeit(
         "payload: inverse+syndrome",
         lambda c: FD.inverse_and_syndrome(c, cfg.cr, cfg.n_trellis), coded)
     print(f"{'':28s} n_fail={int(np.asarray(jnp.sum((syn > 0).astype(jnp.int32))))}",
