@@ -149,6 +149,25 @@ def test_viterbi_segmented_matches_monolithic():
     assert np.array_equal(mono, msg)
 
 
+def test_derotate_pallas_matches_factored():
+    """The single-pass Pallas derotation == the XLA factored-phasor
+    oracle to f32 rounding, at odd widths/batches and large CFO."""
+    import jax.numpy as jnp
+    from gr_ieee80211_tpu.ops import frontend as FE
+    from gr_ieee80211_tpu.ops.cplx import CF
+    rng = np.random.default_rng(8)
+    for B_, n_ in ((3, 331), (130, 1984), (8, 4500)):
+        x = rng.normal(size=(B_, n_)) + 1j * rng.normal(size=(B_, n_))
+        cfo = rng.normal(size=B_).astype(np.float32) * 8e4
+        wins = CF(jnp.asarray(x.real, jnp.float32),
+                  jnp.asarray(x.imag, jnp.float32))
+        a = FE.derotate_pallas(wins, jnp.asarray(cfo), n_)
+        b = FE._derotate_factored(wins, jnp.asarray(cfo), n_)
+        err = max(float(np.abs(np.asarray(a.re) - np.asarray(b.re)).max()),
+                  float(np.abs(np.asarray(a.im) - np.asarray(b.im)).max()))
+        assert err < 2e-4, (B_, n_, err)
+
+
 def test_segmented_pays_policy():
     """Cost model: small fallback tiles on long trellises go segmented,
     full batches stay monolithic (the ~20% overlap overhead loses at
