@@ -359,10 +359,15 @@ _DR_N = 2048
 def _derotate_kernel(re_ref, im_ref, w_ref, ore_ref, oim_ref):
     """One fused pass: phase = w * t, out = in * exp(j*phase).
 
-    The XLA lowering of the factored-phasor derotation runs ~4.6 ms at
-    (4096, 1984) across 5 fusions; this single VMEM-resident kernel with
-    in-kernel transcendentals measures at the dispatch floor (~<1 ms
-    device).  Mosaic needs an integer iota (cast after)."""
+    MEASURED NEGATIVE RESULT (round 3), kept as documentation: isolated,
+    this kernel beats the XLA factored-phasor lowering (at the dispatch
+    floor vs ~4.6 ms at (4096, 1984) across 5 fusions) — but wired into
+    the fused RX chain it LOSES ~1.3 ms/batch (150.4k vs 158.0k pkt/s):
+    the opaque pallas_call forces its (B, n) inputs/outputs to
+    materialize, killing the fusions XLA builds between the bf16 gather
+    upcast, the derotation and the symbol-window consumers.  The chain
+    uses :func:`_derotate_factored`; this kernel stays for isolated use
+    and as the measurement record.  Mosaic needs an integer iota."""
     nt = pl.program_id(1)
     w = w_ref[:, 0:1]                                     # (R, 1) rad/sample
     t = (jax.lax.broadcasted_iota(jnp.int32, (_DR_R, _DR_N), 1)
@@ -405,7 +410,10 @@ def derotate_batch(x: CF, starts: jax.Array, cfo: jax.Array, n: int,
     """Gather (B, n) windows at ``starts`` and derotate each by its CFO.
 
     low_prec=True stages the gather through bf16 (see gather_windows_bf16);
-    used for the long payload windows where the fetch dominates."""
+    used for the long payload windows where the fetch dominates.
+    Uses the XLA factored-phasor path: it fuses with the gather upcast
+    and the downstream symbol windows (see _derotate_kernel's measured
+    negative result for the Pallas alternative)."""
     gw = gather_windows_bf16 if low_prec else gather_windows
     wins = gw(x, starts, n)
-    return derotate_pallas(wins, cfo, n)
+    return _derotate_factored(wins, cfo, n)
