@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec import tables as T
-from ..spec.params import Fmt, PhyConfig
+from ..spec.params import Fmt, PhyConfig, MuConfig
 from ..gold import tx as GTX
 from ..ops.cplx import CF, idft64
 from ..ops import ofdm as OF
@@ -178,6 +178,197 @@ def tx_batch(cfg: PhyConfig, payload: jax.Array, seeds: jax.Array,
     return wave * jnp.asarray(st["mask"])
 
 
+# ---------------------------------------------------------------------------
+# MU-MIMO / beamformed transmit
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _static_parts_mu(mu: MuConfig):
+    """Per-MU-config constants.
+
+    Everything before the non-legacy STF is Q-independent (the reference
+    only spatially maps NL-STF/LTF/SIG-B and data symbols,
+    /root/reference/lib/modulation2_impl.cc:121-126,203,362-363), so the
+    legacy preamble + VHT-SIG-A is one static time-domain template; the
+    Q-dependent fields are kept as CSD'd frequency grids and mixed with the
+    runtime Q inside the jitted program.
+    """
+    from ..gold import sig as S
+
+    nss = mu.nss_total
+    assert nss <= 2, "reference envelope: <=2 total space-time streams"
+    # -- Q-independent legacy/SIG-A template (nss, 640) --------------------
+    leg_chunks = (GTX.legacy_training(nss) + [GTX.lsig_field(mu, nss)]
+                  + GTX._dual_sym_sig(S.vhtsiga_bits(mu), nss,
+                                      qbpsk_first=False))
+    leg = np.concatenate(leg_chunks, axis=-1)
+    # -- Q-dependent grids (CSD applied, Q deferred to runtime) ------------
+    pilot_mask = np.zeros(64, dtype=bool)
+    pilot_mask[T.PILOT_IDX] = True
+    nl_grids = [GTX._apply_csd(np.tile(T.STF_GRID, (nss, 1)), nss, False)]
+    nl_scales = [1.0 / np.sqrt(T.NTF_STF_NL * nss)]
+    for i in range(mu.nltf):
+        g = np.empty((nss, 64), dtype=np.complex128)
+        for iss in range(nss):
+            row = T.LTF_NL_GRID * T.P_LTF[iss, i]
+            g[iss] = np.where(pilot_mask, T.LTF_NL_GRID * T.R_LTF[i], row)
+        nl_grids.append(GTX._apply_csd(g, nss, False))
+        nl_scales.append(1.0 / np.sqrt(T.NTF_LTF_NL * nss))
+    # SIG-B: per-user bits, user streams stacked in order, then CSD
+    sigb_streams, crcs = [], []
+    for ucfg in mu.users:
+        sigb, crc = S.vhtsigb_bits_mu(ucfg)
+        crcs.append(crc)
+        inted = GTX.interleave_sigb(sigb)
+        for _ in range(ucfg.nss):
+            sigb_streams.append(T.qam_table(1)[inted])
+    g = np.zeros((nss, 64), dtype=np.complex128)
+    for iss in range(nss):
+        g[iss, T.DATA_IDX_NL] = sigb_streams[iss]
+        g[iss, T.PILOT_IDX] = T.PILOT_VHT
+    nl_grids.append(GTX._apply_csd(g, nss, False))
+    nl_scales.append(1.0 / np.sqrt(T.NTF_SIGB * nss))
+    nl_g = np.stack(nl_grids)                       # (nltf+2, nss, 64)
+
+    # -- per-user bit-pipeline constants -----------------------------------
+    users = []
+    for u, ucfg0 in enumerate(mu.users):
+        ucfg = mu.user_padded(u)
+        service = np.zeros(16, np.uint8)
+        service[8:] = crcs[u]
+        tail = np.concatenate(
+            [np.tile(T.VHT_EOF_BITS, ucfg.n_pad_eof),
+             np.zeros(8 * ucfg.n_pad_octet, np.uint8),
+             np.zeros(ucfg.n_pad_bits, np.uint8)])
+        rxp = OF._deint_deparse_perm(Fmt.VHT, ucfg.nbpscs, ucfg.nss, ucfg.nsym)
+        perm = np.empty_like(rxp)
+        perm[rxp] = np.arange(len(rxp))
+        pat = T.PUNCTURE[ucfg.cr]
+        n2 = 2 * ucfg.n_trellis
+        keep = np.tile(pat, -(-n2 // len(pat)))[:n2].astype(bool)
+        qtab = T.qam_table(ucfg.nbpscs)
+        users.append(dict(
+            cfg=ucfg, service=service, tail=tail, tx_perm=perm,
+            punct_idx=np.nonzero(keep)[0].astype(np.int32),
+            qam_re=qtab.real.astype(np.float32),
+            qam_im=qtab.imag.astype(np.float32)))
+
+    # -- data-field constants ----------------------------------------------
+    pilots = GTX.data_pilots(Fmt.VHT, nss, mu.nsym)  # (nsym, nss, 4)
+    csd = np.stack([T.csd_phase(T.CSD_NL_NS[nss - 1][s]) for s in range(nss)])
+    data_scale = 1.0 / np.sqrt(T.NTF_DATA_NL * nss)
+
+    # -- boundary window mask ----------------------------------------------
+    chunk_lens = ([c.shape[-1] for c in leg_chunks]
+                  + [80] * (mu.nltf + 2) + [80] * mu.nsym)
+    n_total = sum(chunk_lens)
+    mask = np.ones(n_total, np.float32)
+    pos = 0
+    for ln in chunk_lens[:-1]:
+        pos += ln
+        mask[pos - 1] *= 0.5
+        mask[pos] *= 0.5
+    return dict(
+        leg_re=leg.real.astype(np.float32), leg_im=leg.imag.astype(np.float32),
+        nl_re=nl_g.real.astype(np.float32), nl_im=nl_g.imag.astype(np.float32),
+        nl_scales=np.asarray(nl_scales, np.float32), users=tuple(users),
+        pilots=pilots.astype(np.float32),
+        csd_re=csd.real.astype(np.float32), csd_im=csd.imag.astype(np.float32),
+        data_scale=np.float32(data_scale), mask=mask, n_total=n_total)
+
+
+def _apply_q_grids(g: CF, q: CF, sub: str) -> CF:
+    """Per-subcarrier spatial mapping out[...,i,...,k] = sum_j q[k,i,j] g[...,j,...,k].
+
+    ``sub``: einsum pattern for the grids, e.g. "cjk" (preamble chunks) or
+    "bjnk" (batched data symbols); j is the input-stream axis, k the
+    subcarrier.  Four real einsums; the j=2 contraction stays on the VPU.
+    """
+    out_sub = sub.replace("j", "i")
+    ein = functools.partial(jnp.einsum, f"kij,{sub}->{out_sub}")
+    return CF(ein(q.re, g.re) - ein(q.im, g.im),
+              ein(q.re, g.im) + ein(q.im, g.re))
+
+
+def _gi80(xt: CF) -> CF:
+    """(..., 64) time symbols -> (..., 80) GI-prefixed."""
+    return CF(jnp.concatenate([xt.re[..., 48:], xt.re], axis=-1),
+              jnp.concatenate([xt.im[..., 48:], xt.im], axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("mu",))
+def tx_batch_mu(mu: MuConfig, payloads: tuple, seeds: jax.Array,
+                q: CF) -> CF:
+    """Device-batched MU-MIMO / beamformed VHT transmit.
+
+    ``payloads``: per-user (B, len_u) uint8 arrays; ``seeds``: (B,) scramble
+    seeds (applied to every user, like the gold model); ``q``: (64, nss,
+    nss) CF per-subcarrier spatial mapping.  Returns (B, nss_total,
+    n_samples) CF, float32-parity with :func:`gold.tx.tx_waveform_mu`.
+
+    TPU mapping of the reference's streaming beamformer: the per-user bit
+    pipelines (lib/encode2_impl.cc:129-216) are batched XOR-convs + one
+    static gather each, and the per-subcarrier Q multiply
+    (lib/modulation2_impl.cc:362-363, procNss2SymBfQ) is an einsum over the
+    whole (B, nss, nsym, 64) grid tensor at once.
+    """
+    st = _static_parts_mu(mu)
+    B = payloads[0].shape[0]
+    nss = mu.nss_total
+
+    # -- per-user encode -> QAM streams, stacked on the stream axis --------
+    streams = []
+    for u, ust in enumerate(st["users"]):
+        ucfg: PhyConfig = ust["cfg"]
+        pay = payloads[u]
+        pbits = ((pay[:, :, None] >> np.arange(8)[None, None, :]) & 1
+                 ).reshape(B, -1).astype(jnp.uint8)
+        data_bits = jnp.concatenate(
+            [jnp.tile(jnp.asarray(ust["service"]), (B, 1)), pbits,
+             jnp.tile(jnp.asarray(ust["tail"]), (B, 1))], axis=1
+        ).astype(jnp.uint8)
+        scrambled = _scramble_batch(data_bits, seeds)
+        enc_in = jnp.concatenate(
+            [scrambled[:, : ucfg.n_trellis - 6],
+             jnp.zeros((B, 6), jnp.uint8)], axis=1)
+        coded = _bcc_encode_batch(enc_in)[:, ust["punct_idx"]]
+        inter = coded[:, ust["tx_perm"]]
+        chips = inter.reshape(B, ucfg.nss, ucfg.nsym, ucfg.nsd, ucfg.nbpscs)
+        chips = jnp.sum(chips.astype(jnp.int32)
+                        * (1 << np.arange(ucfg.nbpscs)), axis=-1)
+        streams.append(CF(jnp.asarray(ust["qam_re"])[chips],
+                          jnp.asarray(ust["qam_im"])[chips]))
+    sym = CF(jnp.concatenate([s.re for s in streams], axis=1),
+             jnp.concatenate([s.im for s in streams], axis=1))
+
+    # -- data grids: scatter + pilots + CSD + Q + IFFT ---------------------
+    grids = CF(jnp.zeros((B, nss, mu.nsym, 64)),
+               jnp.zeros((B, nss, mu.nsym, 64)))
+    grids = CF(grids.re.at[:, :, :, T.DATA_IDX_NL].set(sym.re),
+               grids.im.at[:, :, :, T.DATA_IDX_NL].set(sym.im))
+    pil = st["pilots"].transpose(1, 0, 2)           # (nss, nsym, 4)
+    grids = CF(grids.re.at[:, :, :, T.PILOT_IDX].set(pil[None]), grids.im)
+    csd = CF(jnp.asarray(st["csd_re"])[None, :, None, :],
+             jnp.asarray(st["csd_im"])[None, :, None, :])
+    grids = _apply_q_grids(grids * csd, q, "bjnk")
+    xt = idft64(grids) * st["data_scale"]
+    data_time = _gi80(xt).reshape(B, nss, mu.nsym * 80)
+
+    # -- Q-dependent preamble fields (NL-STF / LTFs / SIG-B) ---------------
+    nl_g = _apply_q_grids(CF(jnp.asarray(st["nl_re"]),
+                             jnp.asarray(st["nl_im"])), q, "cjk")
+    nl_t = idft64(nl_g) * jnp.asarray(st["nl_scales"])[:, None, None]
+    nl_time = _gi80(nl_t).transpose(1, 0, 2).reshape(nss, -1)
+
+    pre = CF(jnp.concatenate([jnp.asarray(st["leg_re"]), nl_time.re], axis=-1),
+             jnp.concatenate([jnp.asarray(st["leg_im"]), nl_time.im], axis=-1))
+    wave = CF(jnp.concatenate(
+                  [jnp.tile(pre.re[None], (B, 1, 1)), data_time.re], axis=-1),
+              jnp.concatenate(
+                  [jnp.tile(pre.im[None], (B, 1, 1)), data_time.im], axis=-1))
+    return wave * jnp.asarray(st["mask"])
+
+
 class TxEngine:
     """Host-facing batched transmitter."""
 
@@ -193,4 +384,28 @@ class TxEngine:
             seeds = np.full(B, 93, np.int32)
         cf = tx_batch(cfg, jnp.asarray(arr), jnp.asarray(np.asarray(seeds, np.int32)),
                       group_id, partial_aid)
+        return np.asarray(cf.re) + 1j * np.asarray(cf.im)
+
+    def tx_mu(self, mu: MuConfig, payloads: list[list[bytes]],
+              bfq: np.ndarray, seeds=None) -> np.ndarray:
+        """MU batch: per-user payload lists -> (B, nss_total, n) complex64.
+
+        ``payloads[u]`` holds user u's B equal-length byte strings; ``bfq``
+        is the (64, nss, nss) per-subcarrier spatial mapping (the type-10
+        wire blob's layout).
+        """
+        from ..ops.cplx import from_host
+        B = len(payloads[0])
+        arrs = []
+        for u, ucfg in enumerate(mu.users):
+            a = np.zeros((B, ucfg.length), np.uint8)
+            for i, p in enumerate(payloads[u]):
+                assert len(p) == ucfg.length
+                a[i] = np.frombuffer(p, np.uint8)
+            arrs.append(jnp.asarray(a))
+        if seeds is None:
+            seeds = np.full(B, 93, np.int32)
+        cf = tx_batch_mu(mu, tuple(arrs),
+                         jnp.asarray(np.asarray(seeds, np.int32)),
+                         from_host(np.asarray(bfq)))
         return np.asarray(cf.re) + 1j * np.asarray(cf.im)

@@ -126,10 +126,17 @@ class PhyTxServer(threading.Thread):
     """
 
     def __init__(self, sink=None, port: int = MAC_TO_PHY_PORT,
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", device_tx: bool = False):
         super().__init__(daemon=True)
         from ..gold import tx as gtx
         self._gtx = gtx
+        #: device_tx=True synthesizes on the accelerator via the batched
+        #: models.tx engines (incl. the MU/beamformed tx_batch_mu path);
+        #: False keeps the numpy gold model (no jit warm-up per new shape)
+        self._eng = None
+        if device_tx:
+            from ..models.tx import TxEngine
+            self._eng = TxEngine()
         self.sink = sink or (lambda w, req: self.waves.append(w))
         self.waves: list[np.ndarray] = []
         self.bfq = np.tile(np.eye(2, dtype=complex), (64, 1, 1))
@@ -156,13 +163,22 @@ class PhyTxServer(threading.Thread):
                 PhyConfig(Fmt.VHT, req.mcs[u], req.nss[u], len(req.payloads[u]),
                           ampdu=True) for u in range(2))
             mu = MuConfig(users, group_id=req.group_id)
-            self.sink(g.tx_waveform_mu(mu, list(req.payloads), self.bfq), req)
+            if self._eng is not None:
+                w = self._eng.tx_mu(mu, [[p] for p in req.payloads],
+                                    self.bfq)[0]
+            else:
+                w = g.tx_waveform_mu(mu, list(req.payloads), self.bfq)
+            self.sink(w, req)
             return
         fmt = req.fmt
         # GR wire behavior: VHT requests are always A-MPDUs, HT requests keep
         # the HT-SIG aggregation bit clear (lib/cloud80211phy.cc:2487-2524)
         cfg = PhyConfig(fmt, req.mcs, req.nss, len(req.payload),
                         ampdu=(fmt == Fmt.VHT))
+        if self._eng is not None:
+            kw = dict(group_id=0, partial_aid=0) if fmt == Fmt.VHT else {}
+            self.sink(self._eng.tx(cfg, [req.payload], **kw)[0], req)
+            return
         kw = dict(group_id=0, partial_aid=0) if fmt == Fmt.VHT else {}
         self.sink(g.tx_waveform(cfg, req.payload, **kw), req)
 

@@ -33,6 +33,24 @@ def test_tx_engine_matches_gold(fmt, mcs, nss):
     assert np.abs(batch - gold).max() < 2e-6
 
 
+def test_tx_engine_mu_matches_gold():
+    """Device-batched MU TX (tx_batch_mu) vs the gold MU waveform."""
+    from gr_ieee80211_tpu.spec.params import MuConfig
+    from gr_ieee80211_tpu.models.tx import TxEngine
+    rng = np.random.default_rng(41)
+    _, a0, _ = _mk(rng, Fmt.VHT, 4, 1, n=100)
+    _, a1, _ = _mk(rng, Fmt.VHT, 2, 1, n=57)
+    mu = MuConfig((PhyConfig(Fmt.VHT, 4, 1, len(a0), ampdu=True),
+                   PhyConfig(Fmt.VHT, 2, 1, len(a1), ampdu=True)),
+                  group_id=2)
+    q = (rng.normal(size=(64, 2, 2)) + 1j * rng.normal(size=(64, 2, 2)))
+    q /= np.sqrt(2)
+    gold = gtx.tx_waveform_mu(mu, [a0, a1], q)
+    dev = TxEngine().tx_mu(mu, [[a0] * 3, [a1] * 3], q)
+    assert dev.shape == (3,) + gold.shape
+    assert np.abs(dev - gold[None]).max() < 2e-5
+
+
 @pytest.mark.parametrize("fmt,mcs,nss", CONFIGS)
 def test_rx_engine_loopback(fmt, mcs, nss):
     rng = np.random.default_rng(23 + mcs)

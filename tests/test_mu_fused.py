@@ -66,6 +66,39 @@ def test_rx_chain_count_mu_rejects_wrong_mcs():
     assert n_ok == 0
 
 
+def test_device_mu_tx_to_fused_mu_rx_loopback():
+    """Full device loop: tx_batch_mu (device) -> ZF channel -> MU-STA chain."""
+    from gr_ieee80211_tpu.models.tx import TxEngine
+    rng = np.random.default_rng(14)
+    h_sta = [(rng.normal(size=(1, 2)) + 1j * rng.normal(size=(1, 2)))
+             / np.sqrt(2) for _ in range(2)]
+    mpdu0 = mac.qos_data_frame(b"device mu user0 " * 7, "02:00:00:00:00:10",
+                               "02:00:00:00:00:01", "02:00:00:00:00:10", 9)
+    mpdu1 = mac.qos_data_frame(b"device mu user1 " * 5, "02:00:00:00:00:11",
+                               "02:00:00:00:00:01", "02:00:00:00:00:11", 10)
+    a0 = mac.ampdu_aggregate_vht([mpdu0])
+    a1 = mac.ampdu_aggregate_vht([mpdu1])
+    mu = MuConfig((PhyConfig(Fmt.VHT, 3, 1, len(a0), ampdu=True),
+                   PhyConfig(Fmt.VHT, 2, 1, len(a1), ampdu=True)),
+                  group_id=2)
+    h_rows = np.repeat(np.stack(h_sta)[:, 0][:, :, None], 56, axis=2)
+    q = sounding.q_to_grid(sounding.zf_q(h_rows))
+    n_pkts = 3
+    wave = TxEngine().tx_mu(mu, [[a0] * 1, [a1] * 1], q)[0]
+    burst = channel.mimo_channel(wave, h_sta[0])
+    one = channel.frame_stream(burst, 1.0, 150.0, gap=400)[0]
+    stream = np.concatenate([np.zeros(512, np.complex64)]
+                            + [one.astype(np.complex64)] * n_pkts)
+    stream = channel.awgn(stream, 0.012 / 10 ** (32 / 20), rng)
+    u0 = mu.users[0]
+    cfg = PhyConfig(Fmt.VHT, u0.mcs, 1, u0.psdu_len, ampdu=True,
+                    mu_nsym=mu.nsym)
+    n_ok, n_det = (int(x) for x in RXM.rx_chain_count_mu(
+        cfg, from_host(stream[None]), n_total=2, own=0, nrx=1,
+        mpdu_len=len(mpdu0), max_pkts=16))
+    assert n_det == n_pkts and n_ok == n_pkts
+
+
 def test_ndp_chan_core_batched_matches_engine():
     rng = np.random.default_rng(13)
     h = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))) / np.sqrt(2)

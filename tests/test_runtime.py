@@ -90,6 +90,39 @@ def test_udp_ndp_and_bfq_and_mu():
         srv.join(timeout=3)
 
 
+def test_udp_server_device_tx_matches_gold():
+    """device_tx=True synthesizes the same waveforms over the wire protocol
+    (SU data + BFQ'd MU) as the gold server, to float32 tolerance."""
+    gold_srv = U.PhyTxServer(port=0)
+    dev_srv = U.PhyTxServer(port=0, device_tx=True)
+    gold_srv.start(), dev_srv.start()
+    try:
+        rng = np.random.default_rng(7)
+        q = (rng.normal(size=(64, 2, 2)) + 1j * rng.normal(size=(64, 2, 2))
+             ).astype(np.complex64) / np.sqrt(2)
+        buf = np.empty((64, 2, 2, 2), np.float32)
+        buf[..., 0], buf[..., 1] = q.real, q.imag
+        m0 = mac.qos_data_frame(b"dev tx user0 " * 4, "02:00:00:00:00:10",
+                                "02:00:00:00:00:01", "02:00:00:00:00:10", 5)
+        m1 = mac.qos_data_frame(b"dev tx user1 " * 3, "02:00:00:00:00:11",
+                                "02:00:00:00:00:01", "02:00:00:00:00:11", 6)
+        a0, a1 = mac.ampdu_aggregate_vht([m0]), mac.ampdu_aggregate_vht([m1])
+        mu_hdr = bytes([3, 2, 1, len(a0) & 0xFF, len(a0) >> 8,
+                        1, 1, len(a1) & 0xFF, len(a1) >> 8, 2])
+        su_hdr = bytes([2, 4, 1, len(a0) & 0xFF, len(a0) >> 8])
+        for srv in (gold_srv, dev_srv):
+            _send(srv.port, bytes([10]) + buf.tobytes())
+            _send(srv.port, su_hdr + a0)
+            _send(srv.port, mu_hdr + a0 + a1)
+        assert _wait(lambda: len(gold_srv.waves) == 2
+                     and len(dev_srv.waves) == 2, timeout=60)
+        for g, d in zip(gold_srv.waves, dev_srv.waves):
+            assert np.abs(np.atleast_2d(g) - np.atleast_2d(d)).max() < 2e-5
+    finally:
+        gold_srv.stop(), dev_srv.stop()
+        gold_srv.join(timeout=3), dev_srv.join(timeout=3)
+
+
 def test_chan_report_roundtrip():
     rng = np.random.default_rng(1)
     chan = (rng.normal(size=(2, 64)) + 1j * rng.normal(size=(2, 64))).astype(np.complex64)
