@@ -238,6 +238,7 @@ class RxPacket:
     start: int = 0
     cfo_hz: float = 0.0
     snr_db: float = 0.0
+    rssi: float = 0.0    #: mean windowed power at sync (reference rssi tag)
     ampdu: bool = False
     is_ndp: bool = False
     ndp_chan: np.ndarray | None = None     # (nrx, nsts, 64) for NDP sounding
@@ -353,6 +354,7 @@ def _receive_one(xs_all: np.ndarray, trig: int, mu_pos) -> RxPacket | None:
     cfo = coarse_cfo(x0, trig, 64)
     cfo = fine_cfo(x0, ltf_idx, cfo)
     snr = 10 * np.log10(peak / max(1 - peak, 1e-6))
+    rssi = float(np.mean(np.abs(x0[ltf_idx: ltf_idx + 64]) ** 2))
 
     need = len(x0) - ltf_idx
     xs = np.stack([derotate(xs_all[r], ltf_idx, need, cfo)
@@ -368,7 +370,7 @@ def _receive_one(xs_all: np.ndarray, trig: int, mu_pos) -> RxPacket | None:
     lsig = S.parse_lsig(lsig_bits)
     if not lsig.ok:
         return None
-    rx = RxPacket(False, start=ltf_idx, cfo_hz=cfo, snr_db=snr)
+    rx = RxPacket(False, start=ltf_idx, cfo_hz=cfo, snr_db=snr, rssi=rssi)
     n_data_samp = lsig.nsym * 80
     if need < 208 + n_data_samp:
         return None

@@ -114,6 +114,12 @@ class RxResult:
     is_ndp: bool = False
     ndp_chan: np.ndarray | None = None
     trig: int = 0        #: trigger (packet-start) sample index
+    #: sync-time SNR estimate 10log10(ac/(1-ac)) and mean windowed power —
+    #: the reference's rad/snr/rssi tag metadata (lib/sync_impl.cc:124-136)
+    snr_db: float = 0.0
+    rssi: float = 0.0
+    #: VHT SIG-B re-encode SNR estimate (lib/demod_impl.cc:449-505 sssnr0)
+    sssnr0: float | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +128,7 @@ class RxResult:
 
 @jax.jit
 def _sync_core(stream: CF, trigs: jax.Array):
-    """Candidate triggers -> (ltf_idx abs, peak, cfo).
+    """Candidate triggers -> (ltf_idx abs, peak, cfo, rssi).
 
     ONE stream gather of (B, 464) at the trigger covers the STF window
     [0:80) and the LTF search span [80:448); the fine CFO reads the
@@ -133,9 +139,9 @@ def _sync_core(stream: CF, trigs: jax.Array):
     reductions."""
     wins = FE.gather_windows_bf16(stream, trigs, 464)
     cfo0 = FE.coarse_cfo_batch(wins[:, :80])
-    off, peak, cfo = FE.ltf_fine_sync_cfo(wins[:, 80: 448], cfo0)
+    off, peak, cfo, rssi = FE.ltf_fine_sync_cfo(wins[:, 80: 448], cfo0)
     ltf_off = 80 + off                         # ltf_idx - trig, in [80, 208]
-    return trigs + ltf_off, peak, cfo
+    return trigs + ltf_off, peak, cfo, rssi
 
 
 @jax.jit
@@ -262,10 +268,54 @@ def _sigb_crc_ok(sigb_bits: jax.Array, service: jax.Array) -> jax.Array:
     return match & tail_zero
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nrx", "mpdu_len"))
+@functools.lru_cache(maxsize=None)
+def _sigb_reencode_matrix() -> np.ndarray:
+    """(52, 26) GF(2) map: decoded VHT-SIG-B bits -> interleaved coded bits.
+
+    Unit-vector probes of the gold BCC+interleave pipeline; lets the jitted
+    chain reproduce the reference's SIG-B re-encode SNR estimate
+    (lib/demod_impl.cc:488-505) as one tiny matmul."""
+    from ..gold import bits as B
+    cols = []
+    for i in range(26):
+        e = np.zeros(26, np.uint8)
+        e[i] = 1
+        cols.append(B.interleave(B.bcc_encode_punct(e, "1/2"), 1, False)
+                    .astype(np.float32))
+    return np.stack(cols, axis=1)
+
+
+def _sigb_snr(xs: CF, h: CF, data_start: int):
+    """VHT SIG-B re-encode SNR (sssnr0) for a SISO batch.
+
+    xs: (B, nrx, n) derotated windows; h: (B, nrx, nss, 64).  Equalizes the
+    SIG-B symbol with the NL channel, pilot-phase-corrects, decodes the 26
+    bits, re-encodes+interleaves them via a GF(2) matmul and converts the
+    residual constellation error to 10log10(52/noise) — the reference's
+    ``sssnr0`` tag (lib/demod_impl.cc:449-505)."""
+    from ..ops.cplx import csum
+    sigb_start = data_start - 80
+    g = OF.fft_syms(xs[:, 0, sigb_start + 16: sigb_start + 80])
+    eq_all = g / h[:, 0, 0]
+    pilv = jnp.asarray(T.PILOT_VHT, jnp.float32)
+    ph = csum(eq_all[:, T.PILOT_IDX] * pilv[None, :], axis=1).unit()
+    eq = eq_all[:, T.DATA_IDX_NL].mul_conj(CF(ph.re[:, None], ph.im[:, None]))
+    perm = T.interleave_perm_nl(1)
+    llr = eq.re[:, perm].astype(jnp.float32)
+    sigb_bits = VXLA.viterbi_decode(VXLA.depuncture(llr, "1/2", 26))
+    M = jnp.asarray(_sigb_reencode_matrix())
+    inted = jnp.mod(sigb_bits.astype(jnp.float32) @ M.T, 2.0)
+    ideal = 2.0 * inted - 1.0
+    noise = jnp.sum((eq.re - ideal) ** 2 + eq.im ** 2, axis=1)
+    return 10.0 * jnp.log10(52.0 / jnp.maximum(noise, 1e-9))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nrx", "mpdu_len",
+                                             "want_sssnr"))
 def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
                   cfo: jax.Array, nrx: int = 1, mpdu_len: int = 0,
-                  n_real: jax.Array | None = None):
+                  n_real: jax.Array | None = None,
+                  want_sssnr: bool = False):
     """Full payload demod+decode for one config bucket.
 
     stream: (nrx, N); returns dict with psdu bytes (B, psdu_len), fcs_ok
@@ -302,6 +352,8 @@ def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     psdu_bits = data[:, 16: 16 + 8 * cfg.psdu_len]
     psdu = OF.bits_to_bytes_batch(psdu_bits)
     out = {"psdu": psdu, "service": data[:, :16]}
+    if want_sssnr and cfg.fmt == Fmt.VHT and cfg.nss == 1:
+        out["sssnr0"] = _sigb_snr(xs, h, data_start)
     if cfg.fmt == Fmt.VHT and mpdu_len > 4:
         # single-MPDU A-MPDU fast path: the MPDU sits at bytes [4, 4+mpdu_len)
         # (the delimiter-walk general path runs on the host)
@@ -336,7 +388,7 @@ def rx_chain_count(cfg: PhyConfig, stream: CF, nrx: int = 1,
                                      spacing=TRIG_DEDUP_SPACING)
     valid = trigs >= 0
     trigs = jnp.maximum(trigs, 0)
-    ltf_idx, peak, cfo = _sync_core(stream[0], trigs)
+    ltf_idx, peak, cfo, rssi = _sync_core(stream[0], trigs)
     n_need = _data_start(cfg) + 80 * cfg.nsym + 16
     valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
     ltf_idx = jnp.clip(ltf_idx, 0, stream.shape[-1] - n_need - 1)
@@ -378,7 +430,7 @@ def rx_chain_ok(cfg: PhyConfig, stream: CF, nrx: int = 1,
                                      spacing=TRIG_DEDUP_SPACING)
     valid = trigs >= 0
     trigs = jnp.maximum(trigs, 0)
-    ltf_idx, peak, cfo = _sync_core(stream[0], trigs)
+    ltf_idx, peak, cfo, rssi = _sync_core(stream[0], trigs)
     n_need = _data_start(cfg) + 80 * cfg.nsym + 16
     valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
     ltf_idx_c = jnp.clip(ltf_idx, 0, stream.shape[-1] - n_need - 1)
@@ -406,7 +458,7 @@ def rx_chain_count_mu(cfg: PhyConfig, stream: CF, n_total: int, own: int,
                                      spacing=TRIG_DEDUP_SPACING)
     valid = trigs >= 0
     trigs = jnp.maximum(trigs, 0)
-    ltf_idx, peak, cfo = _sync_core(stream[0], trigs)
+    ltf_idx, peak, cfo, rssi = _sync_core(stream[0], trigs)
     nltf = int(T.N_LTF_OF_NSTS[n_total])
     n_need = 208 + 160 + 80 + 80 * nltf + 80 + 80 * cfg.nsym + 16
     valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
@@ -463,15 +515,20 @@ class RxEngine:
         trigs = self.detect(dev[0])
         if len(trigs) == 0:
             return []
-        ltf_idx, peak, cfo = _sync_core(dev[0], jnp.asarray(trigs))
-        ltf_idx, peak, cfo = (np.asarray(ltf_idx), np.asarray(peak),
-                              np.asarray(cfo))
+        ltf_idx, peak, cfo, rssi = _sync_core(dev[0], jnp.asarray(trigs))
+        ltf_idx, peak, cfo, rssi = (np.asarray(ltf_idx), np.asarray(peak),
+                                    np.asarray(cfo), np.asarray(rssi))
         keep = peak > 0.5
         # guard: full SIG region must fit
         keep &= ltf_idx + 600 < stream.shape[1]
         ltf_idx, cfo, trigs = ltf_idx[keep], cfo[keep], trigs[keep]
         if len(ltf_idx) == 0:
             return []
+        # per-packet SNR/RSSI metadata (reference sync tags): snr from the
+        # LTF autocorrelation peak, rssi from the windowed power at the peak
+        snr_db = 10.0 * np.log10(peak[keep] / np.maximum(1.0 - peak[keep],
+                                                         1e-6))
+        rssi = rssi[keep]
         lsig_b, ht_b, vht_b = (np.asarray(a) for a in _sig_core(
             dev[0], jnp.asarray(ltf_idx), jnp.asarray(cfo)))
 
@@ -516,7 +573,7 @@ class RxEngine:
             for c0 in range(0, len(all_items), max_b):
                 items = all_items[c0: c0 + max_b]
                 self._decode_bucket(dev, canon, items, ltf_idx, cfo, trigs,
-                                    results)
+                                    results, snr_db, rssi)
         # NDPs: ONE channel-estimate dispatch per nsts value (not per packet)
         ndp_groups: dict[int, list[int]] = {}
         for i, mi in enumerate(meta):
@@ -529,28 +586,34 @@ class RxEngine:
             hc = np.asarray(h.re) + 1j * np.asarray(h.im)
             for j, i in enumerate(idxs):
                 r = RxResult(True, Fmt.VHT, 0, nsts, int(ltf_idx[i]),
-                             float(cfo[i]), is_ndp=True, trig=int(trigs[i]))
+                             float(cfo[i]), is_ndp=True, trig=int(trigs[i]),
+                             snr_db=float(snr_db[i]), rssi=float(rssi[i]))
                 r.ndp_chan = hc[j]
                 results[i] = r
         self._process_mu(dev, ltf_idx, cfo, trigs, meta, results,
-                         stream.shape[1])
+                         stream.shape[1], snr_db, rssi)
         return [r for r in results if r is not None]
 
     def _decode_bucket(self, dev, canon: PhyConfig, items, ltf_idx, cfo,
-                       trigs, results):
+                       trigs, results, snr_db, rssi):
         """items: [(packet index, exact PhyConfig)]; decoded with the shared
         canonical config, each packet's real psdu sliced from the padded
         decode (bit-identical: >= _CANON_MERGE_STEPS of trellis margin)."""
         sel = np.asarray([i for i, _ in items], dtype=np.int32)
         n_real = jnp.asarray([c.n_trellis for _, c in items], jnp.int32)
+        want_sssnr = canon.fmt == Fmt.VHT and canon.nss == 1
         out = _payload_core(canon, dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
                             jnp.asarray(cfo[sel]), nrx=self.nrx,
-                            n_real=n_real)
+                            n_real=n_real, want_sssnr=want_sssnr)
         psdu = np.asarray(out["psdu"])
+        sssnr = np.asarray(out["sssnr0"]) if "sssnr0" in out else None
         for j, (i, cfg) in enumerate(items):
             r = RxResult(False, cfg.fmt, cfg.mcs, cfg.nss,
                          int(ltf_idx[i]), float(cfo[i]),
-                         trig=int(trigs[i]))
+                         trig=int(trigs[i]), snr_db=float(snr_db[i]),
+                         rssi=float(rssi[i]))
+            if sssnr is not None:
+                r.sssnr0 = float(sssnr[j])
             pb = psdu[j][: cfg.psdu_len].tobytes()
             r.psdu = pb
             if cfg.fmt == Fmt.VHT or (cfg.fmt == Fmt.HT and cfg.ampdu):
@@ -562,7 +625,8 @@ class RxEngine:
                 r.mpdus = [pb] if r.ok else []
             results[i] = r
 
-    def _process_mu(self, dev, ltf_idx, cfo, trigs, meta, results, n_stream):
+    def _process_mu(self, dev, ltf_idx, cfo, trigs, meta, results, n_stream,
+                    snr_db, rssi):
         """Batched MU-STA decode: SIG-B pass per nsts-group, then payload
         buckets per (mcs, len, nsym)."""
         groups: dict[tuple, list[int]] = {}
@@ -608,7 +672,8 @@ class RxEngine:
                         continue
                     r = RxResult(False, Fmt.VHT, cfg.mcs, cfg.nss,
                                  int(ltf_idx[i]), float(cfo[i]),
-                                 trig=int(trigs[i]))
+                                 trig=int(trigs[i]), snr_db=float(snr_db[i]),
+                                 rssi=float(rssi[i]))
                     r.psdu = psdu[j].tobytes()
                     r.mpdus = MAC.ampdu_deaggregate(r.psdu)
                     r.ok = len(r.mpdus) > 0

@@ -251,8 +251,8 @@ def ltf_fine_sync(wins: CF):
     Returns (offsets (B,), peak (B,)): offset of the chosen ltf_idx within
     the window (mid of the 80% shoulders of the lag-64 autocorr peak, +8).
     Thin wrapper over :func:`ltf_fine_sync_cfo` (single source of truth
-    for the timing algorithm) discarding the CFO output."""
-    off, peak, _ = ltf_fine_sync_cfo(wins, jnp.zeros(wins.shape[0]))
+    for the timing algorithm) discarding the CFO/RSSI outputs."""
+    off, peak, _, _ = ltf_fine_sync_cfo(wins, jnp.zeros(wins.shape[0]))
     return off, peak
 
 
@@ -270,7 +270,10 @@ def ltf_fine_sync_cfo(wins: CF, cfo0: jax.Array):
     fine_cfo_batch, which derotates by cfo0 first — here the rotation is
     added to the angle instead of the samples).
 
-    Returns (offset (B,) int32, peak (B,), cfo_hz (B,)).
+    Returns (offset (B,) int32, peak (B,), cfo_hz (B,), rssi (B,)):
+    ``rssi`` is the mean 64-sample windowed power at the autocorrelation
+    peak — the reference's per-packet ``rssi`` tag
+    (lib/sync_impl.cc:124-136, d_tmpPwr[maxIndex]/64).
     """
     B, n = wins.shape
     npts = n - 128
@@ -303,7 +306,8 @@ def ltf_fine_sync_cfo(wins: CF, cfo0: jax.Array):
     ang = jnp.arctan2(s_im, s_re) + phase0
     ang = ang - 2 * np.pi * jnp.round(ang / (2 * np.pi))   # wrap to [-pi, pi)
     cfo = cfo0 - ang / 64 / (2 * np.pi) * FS
-    return mid.astype(jnp.int32), peak, cfo
+    rssi = jnp.take_along_axis(pw, k[:, None], axis=1)[:, 0] / 64.0
+    return mid.astype(jnp.int32), peak, cfo, rssi
 
 
 @jax.jit

@@ -203,7 +203,7 @@ def rx_chain_sp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0,
                                          spacing=TRIG_DEDUP_SPACING)
         valid = trigs >= 0
         trigs = jnp.maximum(trigs, 0)
-        ltf_idx, peak, cfo = _sync_core(ext, trigs)
+        ltf_idx, peak, cfo, _rssi = _sync_core(ext, trigs)
         valid &= (peak > 0.5) & (ltf_idx + n_need < ext.shape[-1])
         ltf_idx = jnp.clip(ltf_idx, 0, ext.shape[-1] - n_need - 1)
         out = _payload_core(cfg, CF(ext.re[None], ext.im[None]), ltf_idx,

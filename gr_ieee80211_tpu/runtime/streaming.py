@@ -59,11 +59,22 @@ class RxStreamer(threading.Thread):
         self.n_blocks = 0
         self.n_packets = 0
         self.n_ok = 0
-        #: per-(fmt, mcs) [ok, total] counters — the reference decode
-        #: block's printed per-MCS tallies are its measurement API
-        #: (lib/decode_impl.cc:393-411); here they are a queryable dict
-        self.counters: dict[tuple, list[int]] = {}
+        #: per-(fmt, mcs) [ok, total, snr_sum, rssi_sum] counters — the
+        #: reference decode block's printed per-MCS tallies with CFO/SNR/RSSI
+        #: are its measurement API (lib/decode_impl.cc:42-45,393-411); here
+        #: they are a queryable dict (see :meth:`counter_summary`)
+        self.counters: dict[tuple, list] = {}
         self._stop_evt = threading.Event()
+
+    def counter_summary(self) -> dict:
+        """Per-(fmt, mcs) {ok, total, snr_db_mean, rssi_mean} — the
+        queryable twin of the reference's printed per-MCS tallies."""
+        out = {}
+        for k, (ok, tot, snr, rssi) in self.counters.items():
+            out[k] = dict(ok=ok, total=tot,
+                          snr_db_mean=snr / tot if tot else 0.0,
+                          rssi_mean=rssi / tot if tot else 0.0)
+        return out
 
     @property
     def ring(self) -> NAT.IqRing:
@@ -107,8 +118,10 @@ class RxStreamer(threading.Thread):
             r.trig -= self.LCTX
             r.start -= self.LCTX
             self.n_packets += 1
-            c = self.counters.setdefault((r.fmt, r.mcs), [0, 0])
+            c = self.counters.setdefault((r.fmt, r.mcs), [0, 0, 0.0, 0.0])
             c[1] += 1
+            c[2] += float(getattr(r, "snr_db", 0.0))
+            c[3] += float(getattr(r, "rssi", 0.0))
             if r.ok:
                 self.n_ok += 1
                 c[0] += 1

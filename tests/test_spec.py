@@ -216,7 +216,7 @@ def test_fused_sync_cfo_matches_two_step():
 
     lre, lim = jax.vmap(row128)(wins.re, wins.im, 80 + off_o)
     cfo_o = FE.fine_cfo_batch(CF(lre, lim), cfo0)
-    off_n, peak_n, cfo_n = FE.ltf_fine_sync_cfo(wins[:, 80:448], cfo0)
+    off_n, peak_n, cfo_n, _rssi = FE.ltf_fine_sync_cfo(wins[:, 80:448], cfo0)
     assert np.array_equal(np.asarray(off_o), np.asarray(off_n))
     assert np.allclose(np.asarray(peak_o), np.asarray(peak_n))
     assert np.abs(np.asarray(cfo_o) - np.asarray(cfo_n)).max() < 0.01
