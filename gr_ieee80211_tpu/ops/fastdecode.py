@@ -222,8 +222,10 @@ def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
     n_real: optional (B,) int32 true trellis length per row for
     canonicalized (rounded-up) buckets — the syndrome and fast path then
     cover only each row's real region (pad-region bits are discarded by
-    the caller; the Viterbi fallback keeps them exact anyway through the
-    >= 96-step survivor-merge margin the canon ladder guarantees).
+    the caller; for the Viterbi fallback the >= 96-step survivor-merge
+    margin the canon ladder guarantees keeps the real bits identical at
+    working SNR — a heuristic bound, same as SEG_OVERLAP, not a
+    worst-case guarantee over pathological pad-region LLRs).
     Returns (B, n_trellis) uint8 — identical to the pure Viterbi path on
     every row whose decode matters: zero-syndrome rows are codeword
     prefixes (fast path IS the ML output); other rows run the real

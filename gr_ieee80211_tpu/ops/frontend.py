@@ -146,15 +146,36 @@ def detect_plateaus_strided(m4: jax.Array, thresh: float = 0.3,
                             max_out: int = 4096) -> jax.Array:
     """Candidate trigger sample indices from the strided metric (padded -1).
 
-    run = 5 strided points ~ the reference's 20-sample plateau rule."""
-    idx = detect_plateaus(m4, thresh=thresh, run=5, max_out=max_out)
+    run = 5 strided points ~ the reference's 20-sample plateau rule.
+
+    Two refinements over the raw plateau-edge rule (both measured on
+    clean + 8 dB streams, round 4):
+
+    * plateau-length confirmation ``confirm=(16, 12)``: a real L-STF
+      plateau spans 20-21 strided points, the VHT/HT-STF mid-packet
+      re-fire at +560 only 8-10 — requiring >= 12 of the 16 points after
+      the edge to sit above threshold drops re-fires at the source.
+      Without this, a re-fire candidate between two close packets (<1260
+      samples apart) bridges the dedup chain and swallows the second
+      packet's start.
+    * suppress=_SUPPRESS_STRIDED: any surviving start within 696 samples
+      of another is removed BEFORE the K-per-row compaction, so the
+      _COMPACT_K capacity bound holds per packet, not per plateau edge."""
+    idx = detect_plateaus(m4, thresh=thresh, run=5, max_out=max_out,
+                          suppress=_SUPPRESS_STRIDED, confirm=(16, 12))
     return jnp.where(idx >= 0, idx * DETECT_STRIDE, -1)
 
 
+#: pre-compaction cluster suppression window, in strided points: any start
+#: within 696 samples of an earlier start would be dropped by trigger dedup
+#: (spacing 700) anyway, so removing it early is a strict refinement
+_SUPPRESS_STRIDED = 700 // DETECT_STRIDE
+
 _COMPACT_ROW = 512
-#: max plateau starts per 512-lane row: packets are >= ~720 samples apart
-#: (TRIG_DEDUP_SPACING), i.e. >= 90 strided points at DETECT_STRIDE=8, so
-#: a row holds at most ceil(512/90)+1 = 7 starts; K=8 leaves margin
+#: max plateau starts per 512-lane row AFTER cluster suppression: surviving
+#: starts are >= _SUPPRESS_STRIDED = 87 points apart, so a row holds at most
+#: ceil(512/87)+1 = 7 starts; K=8 leaves margin (without suppression a row
+#: spans 4096 samples ~ 5.7 packets x up to 3 plateau edges each > K)
 _COMPACT_K = 8
 
 
@@ -186,17 +207,39 @@ def _compact_indices(start: jax.Array, max_out: int) -> jax.Array:
     return jnp.where(slot >= 0, cand[jnp.maximum(slot, 0)], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "run"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_out", "run", "suppress", "confirm"))
 def detect_plateaus(m: jax.Array, thresh: float = 0.3, run: int = 20,
-                    max_out: int = 4096) -> jax.Array:
+                    max_out: int = 4096, suppress: int = 0,
+                    confirm: tuple | None = None) -> jax.Array:
     """Device-side plateau-start detection; returns (max_out,) candidate
     indices padded with -1.  Only these indices cross to the host — the full
-    metric array never leaves the device."""
+    metric array never leaves the device.
+
+    ``confirm=(win, need)``: keep a start only if >= ``need`` of the
+    ``win`` points from it are above threshold (dip-tolerant plateau-length
+    check; rejects the short mid-packet STF re-fire plateaus).
+
+    ``suppress`` > 0 then drops any confirmed start with another confirmed
+    start within the preceding ``suppress`` points (one movsum).  Every
+    such start has a <= suppress-point gap to its predecessor, which
+    downstream trigger dedup (spacing >= suppress) would discard anyway —
+    removing it here keeps the per-row _COMPACT_K capacity for true packet
+    starts."""
     above = (m > thresh).astype(jnp.float32)
     run_ok = _movsum(above, run) >= run            # all `run` above from n
     nr = run_ok.shape[-1]
     prev = jnp.concatenate([jnp.zeros(1), above[:-1]])
     start = run_ok & (prev[:nr] == 0) & (above[:nr] > 0)
+    if confirm is not None:
+        win, need = confirm
+        cnt = _movsum(jnp.concatenate([above, jnp.zeros(win)]), win)[:nr]
+        start = start & (cnt >= need)
+    if suppress:
+        padded = jnp.concatenate(
+            [jnp.zeros(suppress), start.astype(jnp.float32)])
+        prev_cnt = _movsum(padded, suppress)[:nr]  # starts in (i-s, i)
+        start = start & (prev_cnt == 0)
     return _compact_indices(start, max_out).astype(jnp.int32)
 
 

@@ -133,7 +133,10 @@ def frontend_sp(mesh: Mesh, max_out_per_shard: int = 512):
         ext = CF(jnp.concatenate([blk.re, halo.re]),
                  jnp.concatenate([blk.im, halo.im]))
         m, _ = FE.stf_metrics(ext)
-        cand = FE.detect_plateaus(m, max_out=max_out_per_shard)
+        # per-sample twin of detect_plateaus_strided's refire rejection:
+        # real L-STF plateaus span ~160 samples, mid-packet STF refires ~70
+        cand = FE.detect_plateaus(m, max_out=max_out_per_shard,
+                                  confirm=(128, 96))
         cand = jnp.where((cand >= 0) & (cand < n_local),
                          cand + jax.lax.axis_index(sp) * n_local, -1)
         return cand[None]

@@ -83,12 +83,15 @@ class RxStreamer(threading.Thread):
     def stop(self, drain: bool = False, timeout: float = 60.0):
         if drain:
             # keep topping the rings up with silence until every real sample
-            # has been inside some block's private (non-halo) span
+            # has been inside some block's private (non-halo) span.  The
+            # count is exact: ceil(remaining/block_len) more blocks — a
+            # fill-threshold exit instead would strand a packet whose
+            # trigger fell in the last real block's halo (deferred by the
+            # ownership rule to a block that never runs).
             deadline = time.time() + timeout
-            while time.time() < deadline:
-                fill = max(r.fill for r in self.rings)
-                if fill <= self.halo + 16:
-                    break                      # only padding remains
+            remaining = max(r.fill for r in self.rings)
+            target = self.n_blocks + -(-remaining // self.block_len)
+            while time.time() < deadline and self.n_blocks < target:
                 for r in self.rings:
                     need = self.block_len + self.halo + 16 - r.fill
                     if need > 0:

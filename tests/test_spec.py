@@ -258,3 +258,30 @@ def test_viterbi_pallas_adaptive_lane_tile():
         llr += rng.normal(size=llr.shape).astype(np.float32) * 0.3
         out = np.asarray(viterbi_decode_pallas(jnp.asarray(llr)))
         assert np.array_equal(out, msg), (B_, T_)
+
+
+def test_dense_min_spacing_packets_all_detected():
+    """ADVICE round-3 stress: VHT packets at near-minimum spacing (~1000
+    samples) produce 2-3 plateau edges each (NL-STF re-fire at +560); a
+    4096-sample compaction row then sees more raw edges than _COMPACT_K, so
+    without pre-compaction cluster suppression real packet starts are
+    silently dropped BEFORE dedup."""
+    from gr_ieee80211_tpu.spec.params import PhyConfig, Fmt
+    from gr_ieee80211_tpu.gold import tx as gtx, mac, channel
+    from gr_ieee80211_tpu.models.rx import RxEngine
+    rng = np.random.default_rng(51)
+    mpdu = mac.qos_data_frame(b"dense!" * 5, "02:00:00:00:00:01",
+                              "02:00:00:00:00:02", "02:00:00:00:00:01", 1)
+    am = mac.ampdu_aggregate_vht([mpdu])
+    cfg = PhyConfig(Fmt.VHT, 7, 1, len(am), ampdu=True)
+    wave = gtx.tx_waveform(cfg, am, group_id=0, partial_aid=0)
+    n_pkts = 40
+    stream = channel.frame_stream(wave, 1.0, 300.0, num=n_pkts, gap=60)
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.awgn(stream, rms / 10 ** (30 / 20), rng)
+    eng = RxEngine(nrx=1)
+    from gr_ieee80211_tpu.ops.cplx import from_host
+    trigs = eng.detect(from_host(stream)[0])
+    assert len(trigs) == n_pkts, len(trigs)
+    res = [r for r in eng.process(stream) if r.ok and r.mpdus[0] == mpdu]
+    assert len(res) == n_pkts, len(res)
