@@ -474,6 +474,35 @@ def rx_chain_count_mu(cfg: PhyConfig, stream: CF, n_total: int, own: int,
     return jnp.sum(ok.astype(jnp.int32)), jnp.sum(valid.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("max_pkts",))
+def _front_core(stream: CF, max_pkts: int) -> jax.Array:
+    """Fused detect -> dedup -> sync -> SIG front end, ONE dispatch.
+
+    Returns a single packed (max_pkts, 126) float32 array
+    [trig, ltf_idx, peak, cfo, rssi, valid, lsig(24), ht(48), vht(48)] so
+    the host pays exactly ONE device->host readback for the whole front
+    end.  On the tunneled backend every readback is a ~26 ms relay round
+    trip; the previous detect / sync / sig sequence cost ~8 separate
+    transfers, which dominated the daemon's per-packet RTT
+    (results/LATENCY.md)."""
+    m4 = FE.stf_metric_strided(stream)
+    cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts)
+    trigs = FE.dedup_triggers_device(cand, max_pkts,
+                                     spacing=TRIG_DEDUP_SPACING)
+    n = stream.shape[-1]
+    ltf_idx, peak, cfo, rssi = _sync_core(stream, jnp.maximum(trigs, 0))
+    valid = (trigs >= 0) & (peak > 0.5) & (ltf_idx + 600 < n)
+    li_c = jnp.clip(ltf_idx, 0, max(n - 600, 0))
+    lsig, ht, vht = _sig_core(stream, li_c, cfo)
+    cols = [trigs.astype(jnp.float32)[:, None],
+            ltf_idx.astype(jnp.float32)[:, None],
+            peak[:, None], cfo[:, None], rssi[:, None],
+            valid.astype(jnp.float32)[:, None],
+            lsig.astype(jnp.float32), ht.astype(jnp.float32),
+            vht.astype(jnp.float32)]
+    return jnp.concatenate(cols, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("nsts", "nrx"))
 def _ndp_chan_core(stream: CF, ltf_idx: jax.Array, cfo: jax.Array,
                    nsts: int, nrx: int):
@@ -512,25 +541,27 @@ class RxEngine:
     def process(self, stream: np.ndarray) -> list[RxResult]:
         stream = np.atleast_2d(stream)
         dev = from_host(stream)
-        trigs = self.detect(dev[0])
-        if len(trigs) == 0:
+        # ONE fused dispatch + ONE readback for the whole front end
+        # (detect/dedup/sync/SIG); max_pkts is padded to a power of two so
+        # variable per-block packet counts share a compiled program
+        cap = max(16, min(4096, stream.shape[1] // 720 + 1))
+        max_pkts = 1 << (cap - 1).bit_length()
+        packed = np.asarray(_front_core(dev[0], max_pkts))
+        keep = packed[:, 5] > 0.5
+        packed = packed[keep]
+        if packed.shape[0] == 0:
             return []
-        ltf_idx, peak, cfo, rssi = _sync_core(dev[0], jnp.asarray(trigs))
-        ltf_idx, peak, cfo, rssi = (np.asarray(ltf_idx), np.asarray(peak),
-                                    np.asarray(cfo), np.asarray(rssi))
-        keep = peak > 0.5
-        # guard: full SIG region must fit
-        keep &= ltf_idx + 600 < stream.shape[1]
-        ltf_idx, cfo, trigs = ltf_idx[keep], cfo[keep], trigs[keep]
-        if len(ltf_idx) == 0:
-            return []
+        trigs = packed[:, 0].astype(np.int64)
+        ltf_idx = packed[:, 1].astype(np.int64)
+        peak = packed[:, 2]
+        cfo = packed[:, 3]
         # per-packet SNR/RSSI metadata (reference sync tags): snr from the
         # LTF autocorrelation peak, rssi from the windowed power at the peak
-        snr_db = 10.0 * np.log10(peak[keep] / np.maximum(1.0 - peak[keep],
-                                                         1e-6))
-        rssi = rssi[keep]
-        lsig_b, ht_b, vht_b = (np.asarray(a) for a in _sig_core(
-            dev[0], jnp.asarray(ltf_idx), jnp.asarray(cfo)))
+        snr_db = 10.0 * np.log10(peak / np.maximum(1.0 - peak, 1e-6))
+        rssi = packed[:, 4]
+        lsig_b = packed[:, 6:30].astype(np.uint8)
+        ht_b = packed[:, 30:78].astype(np.uint8)
+        vht_b = packed[:, 78:126].astype(np.uint8)
 
         # host-side classification into buckets
         buckets: dict[PhyConfig, list[int]] = {}
@@ -605,8 +636,12 @@ class RxEngine:
         out = _payload_core(canon, dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
                             jnp.asarray(cfo[sel]), nrx=self.nrx,
                             n_real=n_real, want_sssnr=want_sssnr)
-        psdu = np.asarray(out["psdu"])
-        sssnr = np.asarray(out["sssnr0"]) if "sssnr0" in out else None
+        # one device_get for every consumed output (readbacks cost ~26 ms
+        # each on the tunneled backend)
+        got = jax.device_get({k: out[k] for k in ("psdu", "sssnr0")
+                              if k in out})
+        psdu = got["psdu"]
+        sssnr = got.get("sssnr0")
         for j, (i, cfg) in enumerate(items):
             r = RxResult(False, cfg.fmt, cfg.mcs, cfg.nss,
                          int(ltf_idx[i]), float(cfo[i]),
@@ -665,8 +700,7 @@ class RxEngine:
                                        jnp.asarray(cfo[sel]),
                                        sum(nsts), sum(nsts[: self.mu_pos]),
                                        nrx=self.nrx)
-                psdu = np.asarray(out["psdu"])
-                service = np.asarray(out["service"])
+                psdu, service = jax.device_get((out["psdu"], out["service"]))
                 for j, (i, crc) in enumerate(items):
                     if not np.array_equal(service[j, 8:16], crc):
                         continue

@@ -47,36 +47,43 @@ def make_mesh(n_devices: int | None = None, axes=("dp",)) -> Mesh:
 # dp: packet-sharded payload decode
 # ---------------------------------------------------------------------------
 
-def payload_decode_dp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0):
+def payload_decode_dp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0,
+                      nrx: int = 1):
     """Build a jitted packet-sharded decode step.
 
-    Input: aligned CFO-corrected sample windows (B, n_samp) with B divisible
-    by the dp axis size; output: (psdu bytes (B, psdu_len), fcs_ok (B,),
-    global ok count).  Uses the XLA Viterbi so the same program compiles on
-    CPU meshes (the Pallas kernel is a drop-in on real multi-chip slices).
+    Input: aligned CFO-corrected sample windows (B, n_samp) — or
+    (B, nrx, n_samp) for nrx > 1 (the demod2 2x2 MIMO role) — with B
+    divisible by the dp axis size; output: (psdu bytes (B, psdu_len),
+    fcs_ok (B,), global ok count).  Uses the XLA Viterbi so the same
+    program compiles on CPU meshes (the Pallas kernel is a drop-in on real
+    multi-chip slices).
     """
     from ..models.rx import _data_start
 
     n_samp = _data_start(cfg) + 80 * cfg.nsym
 
     def local_decode(xs_re, xs_im):
-        # xs: (b_local, n_samp), t=0 at the L-LTF window; fine CFO from the
-        # LTF lag-64 autocorrelation, then the full demod+decode chain
+        # xs: (b_local, nrx, n_samp), t=0 at the L-LTF window; fine CFO
+        # from antenna 0's LTF lag-64 autocorrelation, then the full
+        # demod+decode chain (ZF across nrx for 2x2)
         xs = CF(xs_re, xs_im)
-        cfo = FE.fine_cfo_batch(xs[:, :128], jnp.zeros(xs.shape[0]))
+        cfo = FE.fine_cfo_batch(xs[:, 0, :128], jnp.zeros(xs.shape[0]))
         t = np.arange(n_samp)
-        xs = xs * expj(-2 * np.pi * cfo[:, None] / FE.FS * t[None, :])
+        xs = xs * expj(-2 * np.pi * cfo[:, None, None] / FE.FS
+                       * t[None, None, :])
         if cfg.fmt == Fmt.L:
-            h0 = OF.legacy_chanest(xs, 0)
+            h0 = OF.legacy_chanest(xs[:, 0], 0)
             h = h0[:, None, None, :]
             pilot_h = h0[:, T.PILOT_IDX][:, None, :]
         else:
-            h, pilot_h = OF.nl_chanest(xs[:, None], 208 + 160 + 80,
+            h, pilot_h = OF.nl_chanest(xs, 208 + 160 + 80,
                                        cfg.nltf, cfg.nss, nrx_axis=True)
             if cfg.fmt == Fmt.HT:
                 pilot_h = csum(h[:, :, :, T.PILOT_IDX], axis=2)
-        grids = OF.fft_syms(
-            OF.extract_sym_windows(xs, _data_start(cfg), cfg.nsym))[:, None]
+        from ..ops.cplx import cstack
+        grids = OF.fft_syms(cstack(
+            [OF.extract_sym_windows(xs[:, r], _data_start(cfg), cfg.nsym)
+             for r in range(nrx)], axis=1))
         llr = OF.equalize_and_demap(grids, h, pilot_h, cfg, nrx_axis=True)
         coded = OF.deinterleave_deparse(llr, cfg)
         bits = VXLA.viterbi_decode(VXLA.depuncture(coded, cfg.cr, cfg.n_trellis))
@@ -93,12 +100,15 @@ def payload_decode_dp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0):
         total = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), "dp")
         return psdu, ok, total
 
+    spec = P("dp", None, None)
     fn = shard_map(local_decode, mesh=mesh,
-                   in_specs=(P("dp", None), P("dp", None)),
+                   in_specs=(spec, spec),
                    out_specs=(P("dp", None), P("dp"), P()))
 
     def wrapped(wins_cf: CF):
-        return fn(wins_cf.re, wins_cf.im)
+        re = wins_cf.re if wins_cf.ndim == 3 else wins_cf.re[:, None]
+        im = wins_cf.im if wins_cf.ndim == 3 else wins_cf.im[:, None]
+        return fn(re, im)
 
     return jax.jit(wrapped), n_samp
 
@@ -225,3 +235,33 @@ def rx_chain_sp(cfg: PhyConfig, mesh: Mesh, mpdu_len: int = 0,
         return fn(stream_cf.re, stream_cf.im)
 
     return jax.jit(wrapped), halo
+
+
+# ---------------------------------------------------------------------------
+# dp: MU-STA fused chain, one stream shard per chip
+# ---------------------------------------------------------------------------
+
+def mu_chain_dp(cfg: PhyConfig, mesh: Mesh, n_total: int, own: int,
+                mpdu_len: int = 0, max_pkts_per_shard: int = 16):
+    """Build a dp-sharded MU-STA chain: each chip runs the fused
+    detect -> SIG-B -> per-user payload program (models.rx.rx_chain_count_mu)
+    on its own (L,) stream shard; global counts are one psum.  This is the
+    demod(mupos) MU receiver scaled across a device mesh — input shape
+    (n_dev, L), one independent capture per chip."""
+    from ..models import rx as RXM
+
+    def local(stream_re, stream_im):
+        dev = CF(stream_re.reshape(1, -1), stream_im.reshape(1, -1))
+        n_ok, n_det = RXM.rx_chain_count_mu(
+            cfg, dev, n_total=n_total, own=own, nrx=1, mpdu_len=mpdu_len,
+            max_pkts=max_pkts_per_shard)
+        return jax.lax.psum(n_ok, "dp"), jax.lax.psum(n_det, "dp")
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P("dp", None), P("dp", None)),
+                       out_specs=(P(), P()), check_vma=False)
+
+    def wrapped(streams_cf: CF):
+        return fn(streams_cf.re, streams_cf.im)
+
+    return jax.jit(wrapped)
