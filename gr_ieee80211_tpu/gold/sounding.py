@@ -28,17 +28,25 @@ def interp_pilot_tones(h_data: np.ndarray) -> np.ndarray:
     """
     mag = np.abs(h_data)
     ph = np.angle(h_data)
+
+    def mid(i, j):
+        # wrap-aware phase midpoint: a sync-offset timing ramp rotates
+        # >2 rad/tone, so naive angle averaging flips by pi whenever one
+        # antenna's angle wraps across +-pi and the other's does not
+        # (observed: garbage pilot directions in the compressed-V loop)
+        d = ph[..., j: j + 1] - ph[..., i: i + 1]
+        d = d - 2 * np.pi * np.round(d / (2 * np.pi))
+        m = (mag[..., i: i + 1] + mag[..., j: j + 1]) / 2
+        return m * np.exp(1j * (ph[..., i: i + 1] + d / 2))
+
     # occupied NL tone order: data-only (52) -> with pilots (56); pilot p sits
     # between data indices: after 7, 20, 32, 44 (positions 7,21,34,48 in 56)
-    def ins(arr):
-        return np.concatenate([
-            arr[..., 0:7], (arr[..., 6:7] + arr[..., 7:8]) / 2,
-            arr[..., 7:20], (arr[..., 19:20] + arr[..., 20:21]) / 2,
-            arr[..., 20:32], (arr[..., 31:32] + arr[..., 32:33]) / 2,
-            arr[..., 32:45], (arr[..., 44:45] + arr[..., 45:46]) / 2,
-            arr[..., 45:52]], axis=-1)
-    m56, p56 = ins(mag), ins(ph)
-    return m56 * np.exp(1j * p56)
+    return np.concatenate([
+        h_data[..., 0:7], mid(6, 7),
+        h_data[..., 7:20], mid(19, 20),
+        h_data[..., 20:32], mid(31, 32),
+        h_data[..., 32:45], mid(44, 45),
+        h_data[..., 45:52]], axis=-1)
 
 
 def feedback_from_ndp(ndp_chan: np.ndarray) -> np.ndarray:
