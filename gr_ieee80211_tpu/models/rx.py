@@ -474,6 +474,37 @@ def rx_chain_count_mu(cfg: PhyConfig, stream: CF, n_total: int, own: int,
     return jnp.sum(ok.astype(jnp.int32)), jnp.sum(valid.astype(jnp.int32))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_total", "own", "nrx",
+                                    "mpdu_len", "max_pkts"))
+def rx_chain_ok_mu(cfg: PhyConfig, stream: CF, n_total: int, own: int,
+                   nrx: int = 1, mpdu_len: int = 0, max_pkts: int = 4096):
+    """Per-packet MU-STA chain: like :func:`rx_chain_count_mu` but returns
+    (ok (max_pkts,), ltf_idx (max_pkts,), valid (max_pkts,)) so the PER
+    harness can map each detection back to its transmit slot (the MU twin
+    of :func:`rx_chain_ok`)."""
+    m4 = FE.stf_metric_strided(stream[0])
+    cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts)
+    trigs = FE.dedup_triggers_device(cand, max_pkts,
+                                     spacing=TRIG_DEDUP_SPACING)
+    valid = trigs >= 0
+    trigs = jnp.maximum(trigs, 0)
+    ltf_idx, peak, cfo, rssi = _sync_core(stream[0], trigs)
+    nltf = int(T.N_LTF_OF_NSTS[n_total])
+    n_need = 208 + 160 + 80 + 80 * nltf + 80 + 80 * cfg.nsym + 16
+    valid &= (peak > 0.5) & (ltf_idx + n_need < stream.shape[-1])
+    ltf_idx_c = jnp.clip(ltf_idx, 0, stream.shape[-1] - n_need - 1)
+    sigb_bits = _mu_sigb_core(stream[0], ltf_idx_c, cfo, n_total, own)
+    mcs_bits = sigb_bits[:, 16:20].astype(jnp.int32)
+    sigb_mcs = (mcs_bits[:, 0] + 2 * mcs_bits[:, 1] + 4 * mcs_bits[:, 2]
+                + 8 * mcs_bits[:, 3])
+    out = _payload_core_mu(cfg, stream[:nrx], ltf_idx_c, cfo, n_total, own,
+                           nrx=nrx, mpdu_len=mpdu_len)
+    ok = out["mpdu_fcs_ok"] & _sigb_crc_ok(sigb_bits, out["service"]) \
+        & (sigb_mcs == cfg.mcs) & valid
+    return ok, ltf_idx, valid
+
+
 @functools.partial(jax.jit, static_argnames=("max_pkts",))
 def _front_core(stream: CF, max_pkts: int) -> jax.Array:
     """Fused detect -> dedup -> sync -> SIG front end, ONE dispatch.
