@@ -231,9 +231,12 @@ def main():
         "block flushed with silence; plus the fused single-dispatch chain.",
         "",
         "On this tunneled TPU backend one device->host readback costs ~26 ms",
-        "of relay round trip; the daemon path crosses 3-4x per block.  On a",
-        "host-attached TPU the relay term vanishes; the amortized per-packet",
-        "column is the architecture's real currency (batched streaming).",
+        "of relay round trip.  Round 4 fused the engine front end (detect/",
+        "dedup/sync/SIG) into ONE packed-array dispatch, cutting the daemon",
+        "path from ~8-10 crossings (~230-290 ms p50 in round 3) to ~3",
+        "(upload + front + bucket decode); p50 sits near the 3-crossing",
+        "floor.  On a host-attached TPU the relay term vanishes; the",
+        "amortized per-packet column is the architecture's real currency.",
         "",
         "## Daemon RTT, VHT, one packet in flight (ms)",
         "",
