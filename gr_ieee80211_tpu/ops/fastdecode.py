@@ -254,7 +254,17 @@ def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
             pairs_k = VXLA.depuncture(coded_llr[rows], cr, n_trellis)
             bits = viterbi_decode_pallas(pairs_k,
                                          segmented="auto")  # (k, T) uint8
-            return d8.at[idx].set(bits, mode="drop")
+            # merge via one-hot MXU matmul: the (k, T) dynamic row scatter
+            # d8.at[idx].set(bits) costs ~6.5 ms at (4096, 4420) on this
+            # chip (measured round 4, results/profile_fallback.json — the
+            # scatter twin of the gather pathology); the matmul + select
+            # is ~0.2 ms and exact (0/1 values in one bf16 pass)
+            onehot = (idx[None, :]
+                      == jnp.arange(B, dtype=jnp.int32)[:, None])
+            merged = jnp.dot(onehot.astype(jnp.float32),
+                             bits.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+            return jnp.where(need[:, None], merged.astype(jnp.uint8), d8)
         return tile
 
     def full(_):

@@ -82,12 +82,13 @@ def stf_metrics(x: CF):
 
 #: detection decimation: the STF plateau spans ~100 samples, so evaluating
 #: the metric every DETECT_STRIDE samples keeps detection intact while
-#: cutting the streaming prefix-sum work 8x; sync refines timing anyway
-#: (the LTF search spans [trig+80, trig+448), far beyond the <=8-sample
-#: trigger quantization).  Raised 4 -> 8 in round 3: the plateau rule
-#: becomes run=5 strided points = 40 samples, still well inside the
-#: plateau, and the PER detection limb is re-validated by the sweeps.
-DETECT_STRIDE = 8
+#: cutting the streaming prefix-sum work 16x; sync refines timing anyway
+#: (the LTF search spans [trig+80, trig+448), far beyond the <=16-sample
+#: trigger quantization).  Raised 4 -> 8 in round 3 and 8 -> 16 in round 4
+#: (the metric VALUES are unchanged 48-sample correlations, only sampled
+#: sparser; run/confirm rules rescale with the stride) — the PER detection
+#: limb is re-validated by the sweeps each time.
+DETECT_STRIDE = 16
 
 
 #: row length for the 2-D detection layout: megasample 1-D streaming programs
@@ -146,23 +147,24 @@ def detect_plateaus_strided(m4: jax.Array, thresh: float = 0.3,
                             max_out: int = 4096) -> jax.Array:
     """Candidate trigger sample indices from the strided metric (padded -1).
 
-    run = 5 strided points ~ the reference's 20-sample plateau rule.
+    run = 3 strided points (48 samples) ~ the reference's 20-sample
+    plateau rule at this stride.
 
     Two refinements over the raw plateau-edge rule (both measured on
     clean + 8 dB streams, round 4):
 
-    * plateau-length confirmation ``confirm=(16, 12)``: a real L-STF
-      plateau spans 20-21 strided points, the VHT/HT-STF mid-packet
-      re-fire at +560 only 8-10 — requiring >= 12 of the 16 points after
-      the edge to sit above threshold drops re-fires at the source.
-      Without this, a re-fire candidate between two close packets (<1260
-      samples apart) bridges the dedup chain and swallows the second
-      packet's start.
-    * suppress=_SUPPRESS_STRIDED: any surviving start within 696 samples
+    * plateau-length confirmation ``confirm=(8, 6)``: a real L-STF
+      plateau spans 10-11 strided points (~164 samples), the VHT/HT-STF
+      mid-packet re-fire at +560 only 4-5 — requiring >= 6 of the 8
+      points after the edge to sit above threshold drops re-fires at the
+      source.  Without this, a re-fire candidate between two close
+      packets (<1260 samples apart) bridges the dedup chain and swallows
+      the second packet's start.
+    * suppress=_SUPPRESS_STRIDED: any surviving start within ~688 samples
       of another is removed BEFORE the K-per-row compaction, so the
       _COMPACT_K capacity bound holds per packet, not per plateau edge."""
-    idx = detect_plateaus(m4, thresh=thresh, run=5, max_out=max_out,
-                          suppress=_SUPPRESS_STRIDED, confirm=(16, 12))
+    idx = detect_plateaus(m4, thresh=thresh, run=3, max_out=max_out,
+                          suppress=_SUPPRESS_STRIDED, confirm=(8, 6))
     return jnp.where(idx >= 0, idx * DETECT_STRIDE, -1)
 
 
@@ -173,10 +175,11 @@ _SUPPRESS_STRIDED = 700 // DETECT_STRIDE
 
 _COMPACT_ROW = 512
 #: max plateau starts per 512-lane row AFTER cluster suppression: surviving
-#: starts are >= _SUPPRESS_STRIDED = 87 points apart, so a row holds at most
-#: ceil(512/87)+1 = 7 starts; K=8 leaves margin (without suppression a row
-#: spans 4096 samples ~ 5.7 packets x up to 3 plateau edges each > K)
-_COMPACT_K = 8
+#: starts are >= _SUPPRESS_STRIDED = 43 points apart, so a row (8192
+#: samples at stride 16) holds at most ceil(512/43)+1 = 13 starts; K=14
+#: leaves margin (without suppression a row would see ~11 packets x up to
+#: 3 plateau edges each, far over any practical K)
+_COMPACT_K = 14
 
 
 def _compact_indices(start: jax.Array, max_out: int) -> jax.Array:

@@ -90,7 +90,7 @@ def main():
     pad[: len(trigs)] = trigs
     trigs_j = jnp.asarray(pad)
 
-    t, (ltf_idx, peak, cfo) = timeit(
+    t, (ltf_idx, peak, cfo, _rssi) = timeit(
         "sync/CFO", lambda d, tr: RXM._sync_core(d, tr), dev[0], trigs_j)
 
     t, ok = timeit("payload (all)",

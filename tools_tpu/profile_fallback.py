@@ -65,16 +65,21 @@ def main():
             x[r, pos] = -x[r, pos]
         return jnp.asarray(x)
 
-    def timeit(name, fn, *args, reps=5):
+    def timeit(name, fn, *args, reps=12):
+        # steady-state: 4 batches in flight, median arrival spacing — a
+        # one-shot wall clock carries +-4-8 ms of relay jitter
         f = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
         float(f(*args))
-        float(f(*args))
-        ts = []
+        outs = [f(*args) for _ in range(4)]
+        arrivals = []
         for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(*args))
-            ts.append((time.perf_counter() - t0) * 1e3)
-        ms = sorted(ts)[len(ts) // 2]
+            outs.append(f(*args))
+            float(outs.pop(0))
+            arrivals.append(time.perf_counter())
+        for o in outs:
+            float(o)
+        ds = np.diff(arrivals) * 1e3
+        ms = float(np.median(ds))
         print(f"{name:10s} {ms:8.2f} ms", file=sys.stderr, flush=True)
         return round(ms, 2)
 
