@@ -93,6 +93,22 @@ def canonical_cfg(cfg: PhyConfig) -> PhyConfig:
     return cfg
 
 
+#: batch-size rungs for bucket decodes (~1.3x geometric): live blocks
+#: detect a different packet count every time, and an exact-size bucket
+#: would compile a fresh program per count (measured: ~1.7 s/block through
+#: the relay in the daemon-throughput bench).  Rows are padded with
+#: duplicates of row 0 and the tail results ignored.
+_BATCH_LADDER = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192,
+                 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+def _pad_batch(n: int) -> int:
+    for r in _BATCH_LADDER:
+        if r >= n:
+            return r
+    return -(-n // 4096) * 4096
+
+
 def dedup_triggers(cand: np.ndarray) -> np.ndarray:
     """Keep the first candidate of each <TRIG_DEDUP_SPACING cluster."""
     if len(cand) == 0:
@@ -642,7 +658,8 @@ class RxEngine:
             if mi is not None and mi[0] == "ndp":
                 ndp_groups.setdefault(mi[1], []).append(i)
         for nsts, idxs in ndp_groups.items():
-            sel = np.asarray(idxs, dtype=np.int32)
+            sel = np.zeros(_pad_batch(len(idxs)), np.int32)
+            sel[: len(idxs)] = idxs
             h = _ndp_chan_core(dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
                                jnp.asarray(cfo[sel]), nsts, self.nrx)
             hc = np.asarray(h.re) + 1j * np.asarray(h.im)
@@ -661,12 +678,17 @@ class RxEngine:
         """items: [(packet index, exact PhyConfig)]; decoded with the shared
         canonical config, each packet's real psdu sliced from the padded
         decode (bit-identical: >= _CANON_MERGE_STEPS of trellis margin)."""
-        sel = np.asarray([i for i, _ in items], dtype=np.int32)
-        n_real = jnp.asarray([c.n_trellis for _, c in items], jnp.int32)
+        nb = len(items)
+        pad = _pad_batch(nb)
+        sel = np.zeros(pad, np.int32)
+        sel[:nb] = [i for i, _ in items]
+        n_real = np.full(pad, canon.n_trellis, np.int32)
+        n_real[:nb] = [c.n_trellis for _, c in items]
         want_sssnr = canon.fmt == Fmt.VHT and canon.nss == 1
         out = _payload_core(canon, dev[: self.nrx], jnp.asarray(ltf_idx[sel]),
                             jnp.asarray(cfo[sel]), nrx=self.nrx,
-                            n_real=n_real, want_sssnr=want_sssnr)
+                            n_real=jnp.asarray(n_real),
+                            want_sssnr=want_sssnr)
         # one device_get for every consumed output (readbacks cost ~26 ms
         # each on the tunneled backend)
         got = jax.device_get({k: out[k] for k in ("psdu", "sssnr0")
@@ -702,7 +724,8 @@ class RxEngine:
         for nsts, idxs in groups.items():
             n_total = sum(nsts)
             own = sum(nsts[: self.mu_pos])
-            sel = np.asarray(idxs, dtype=np.int32)
+            sel = np.zeros(_pad_batch(len(idxs)), np.int32)
+            sel[: len(idxs)] = idxs
             sigb_b = np.asarray(_mu_sigb_core(
                 dev[0], jnp.asarray(ltf_idx[sel]), jnp.asarray(cfo[sel]),
                 n_total, own))
@@ -725,7 +748,8 @@ class RxEngine:
                     continue
                 buckets.setdefault(cfg, []).append((i, sigb.crc))
             for cfg, items in buckets.items():
-                sel = np.asarray([i for i, _ in items], dtype=np.int32)
+                sel = np.zeros(_pad_batch(len(items)), np.int32)
+                sel[: len(items)] = [i for i, _ in items]
                 out = _payload_core_mu(cfg, dev[: self.nrx],
                                        jnp.asarray(ltf_idx[sel]),
                                        jnp.asarray(cfo[sel]),
