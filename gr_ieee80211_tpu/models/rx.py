@@ -25,7 +25,7 @@ from ..spec.params import Fmt, PhyConfig
 from ..gold import sig as S
 from ..gold import mac as MAC
 from ..ops import frontend as FE
-from ..ops.cplx import CF, cstack, from_host
+from ..ops.cplx import CF, cstack, from_host, from_host_bf16
 from ..ops import ofdm as OF
 from ..ops import crc as CRC
 from ..ops.viterbi_pallas import viterbi_decode_pallas
@@ -522,16 +522,17 @@ def rx_chain_ok_mu(cfg: PhyConfig, stream: CF, n_total: int, own: int,
 
 
 @functools.partial(jax.jit, static_argnames=("max_pkts",))
-def _front_core(stream: CF, max_pkts: int) -> jax.Array:
+def _front_core(stream: CF, max_pkts: int):
     """Fused detect -> dedup -> sync -> SIG front end, ONE dispatch.
 
-    Returns a single packed (max_pkts, 126) float32 array
-    [trig, ltf_idx, peak, cfo, rssi, valid, lsig(24), ht(48), vht(48)] so
-    the host pays exactly ONE device->host readback for the whole front
-    end.  On the tunneled backend every readback is a ~26 ms relay round
-    trip; the previous detect / sync / sig sequence cost ~8 separate
-    transfers, which dominated the daemon's per-packet RTT
-    (results/LATENCY.md)."""
+    Returns (meta (max_pkts, 6) float32 [trig, ltf_idx, peak, cfo, rssi,
+    valid], bits (max_pkts, 120) uint8 [lsig(24), ht(48), vht(48)]) so the
+    host pays exactly ONE device->host readback (one device_get) for the
+    whole front end.  On the tunneled backend every readback is a ~26 ms
+    relay round trip and bulk transfer moves ~15 MB/s; the previous
+    detect / sync / sig sequence cost ~8 separate transfers, which
+    dominated the daemon's per-packet RTT (results/LATENCY.md), and the
+    SIG bits ride as uint8 (4x fewer bytes than f32)."""
     m4 = FE.stf_metric_strided(stream)
     cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts)
     trigs = FE.dedup_triggers_device(cand, max_pkts,
@@ -541,13 +542,15 @@ def _front_core(stream: CF, max_pkts: int) -> jax.Array:
     valid = (trigs >= 0) & (peak > 0.5) & (ltf_idx + 600 < n)
     li_c = jnp.clip(ltf_idx, 0, max(n - 600, 0))
     lsig, ht, vht = _sig_core(stream, li_c, cfo)
-    cols = [trigs.astype(jnp.float32)[:, None],
-            ltf_idx.astype(jnp.float32)[:, None],
-            peak[:, None], cfo[:, None], rssi[:, None],
-            valid.astype(jnp.float32)[:, None],
-            lsig.astype(jnp.float32), ht.astype(jnp.float32),
-            vht.astype(jnp.float32)]
-    return jnp.concatenate(cols, axis=1)
+    meta = jnp.concatenate(
+        [trigs.astype(jnp.float32)[:, None],
+         ltf_idx.astype(jnp.float32)[:, None],
+         peak[:, None], cfo[:, None], rssi[:, None],
+         valid.astype(jnp.float32)[:, None]], axis=1)
+    bits = jnp.concatenate(
+        [lsig.astype(jnp.uint8), ht.astype(jnp.uint8),
+         vht.astype(jnp.uint8)], axis=1)
+    return meta, bits
 
 
 @functools.partial(jax.jit, static_argnames=("nsts", "nrx"))
@@ -571,10 +574,11 @@ class RxEngine:
     """Streaming receiver over a (nrx, N) IQ timeline."""
 
     def __init__(self, nrx: int = 1, mu_pos: int | None = None,
-                 mu_gid: int | None = None):
+                 mu_gid: int | None = None, ingest_bf16: bool = False):
         self.nrx = nrx
         self.mu_pos = mu_pos          # MU-MIMO STA position (demod mupos)
         self.mu_gid = mu_gid          # group id filter (demod mugid), opt.
+        self.ingest_bf16 = ingest_bf16
 
     # -- detection ---------------------------------------------------------
     def detect(self, stream0: jax.Array, max_out: int = 4096) -> np.ndarray:
@@ -587,28 +591,38 @@ class RxEngine:
     # -- full pipeline -----------------------------------------------------
     def process(self, stream: np.ndarray) -> list[RxResult]:
         stream = np.atleast_2d(stream)
-        dev = from_host(stream)
+        # bf16 ingest halves the transport bytes (the tunneled relay moves
+        # ~15 MB/s host->device); opt-in since golden-parity tests compare
+        # float32 paths
+        fh = from_host_bf16 if self.ingest_bf16 else from_host
+        return self.process_device(fh(stream), stream.shape[1])
+
+    def process_device(self, dev, n_stream: int) -> list[RxResult]:
+        """Run the full engine on an already-device-resident (nrx, N) CF
+        stream (the block-processing path of :meth:`process`)."""
         # ONE fused dispatch + ONE readback for the whole front end
         # (detect/dedup/sync/SIG); max_pkts is padded to a power of two so
         # variable per-block packet counts share a compiled program
-        cap = max(16, min(4096, stream.shape[1] // 720 + 1))
+        cap = max(16, min(4096, n_stream // 720 + 1))
         max_pkts = 1 << (cap - 1).bit_length()
-        packed = np.asarray(_front_core(dev[0], max_pkts))
-        keep = packed[:, 5] > 0.5
-        packed = packed[keep]
-        if packed.shape[0] == 0:
+        meta_d, bits_d = _front_core(dev[0], max_pkts)
+        got = jax.device_get((meta_d, bits_d))
+        meta, sig_bits = got
+        keep = meta[:, 5] > 0.5
+        meta, sig_bits = meta[keep], sig_bits[keep]
+        if meta.shape[0] == 0:
             return []
-        trigs = packed[:, 0].astype(np.int64)
-        ltf_idx = packed[:, 1].astype(np.int64)
-        peak = packed[:, 2]
-        cfo = packed[:, 3]
+        trigs = meta[:, 0].astype(np.int64)
+        ltf_idx = meta[:, 1].astype(np.int64)
+        peak = meta[:, 2]
+        cfo = meta[:, 3]
         # per-packet SNR/RSSI metadata (reference sync tags): snr from the
         # LTF autocorrelation peak, rssi from the windowed power at the peak
         snr_db = 10.0 * np.log10(peak / np.maximum(1.0 - peak, 1e-6))
-        rssi = packed[:, 4]
-        lsig_b = packed[:, 6:30].astype(np.uint8)
-        ht_b = packed[:, 30:78].astype(np.uint8)
-        vht_b = packed[:, 78:126].astype(np.uint8)
+        rssi = meta[:, 4]
+        lsig_b = sig_bits[:, 0:24]
+        ht_b = sig_bits[:, 24:72]
+        vht_b = sig_bits[:, 72:120]
 
         # host-side classification into buckets
         buckets: dict[PhyConfig, list[int]] = {}
@@ -630,11 +644,11 @@ class RxEngine:
                 continue
             canon = canonical_cfg(cfg)
             if ltf_idx[i] + _data_start(canon) + 80 * canon.nsym + 16 \
-                    > stream.shape[1]:
+                    > n_stream:
                 # padded window overruns the block: fall back to exact shape
                 canon = cfg
             if ltf_idx[i] + _data_start(cfg) + 80 * cfg.nsym + 16 \
-                    > stream.shape[1]:
+                    > n_stream:
                 meta.append(None)
                 continue
             buckets.setdefault(canon, []).append((i, cfg))
@@ -670,7 +684,7 @@ class RxEngine:
                 r.ndp_chan = hc[j]
                 results[i] = r
         self._process_mu(dev, ltf_idx, cfo, trigs, meta, results,
-                         stream.shape[1], snr_db, rssi)
+                         n_stream, snr_db, rssi)
         return [r for r in results if r is not None]
 
     def _decode_bucket(self, dev, canon: PhyConfig, items, ltf_idx, cfo,
@@ -704,8 +718,16 @@ class RxEngine:
                 r.sssnr0 = float(sssnr[j])
             pb = psdu[j][: cfg.psdu_len].tobytes()
             r.psdu = pb
-            if cfg.fmt == Fmt.VHT or (cfg.fmt == Fmt.HT and cfg.ampdu):
-                r.mpdus = MAC.ampdu_deaggregate(pb, ht=cfg.fmt == Fmt.HT)
+            if cfg.fmt == Fmt.VHT:
+                # native C++ delimiter walk + FCS (runtime/native.py falls
+                # back to the python gold walk when the .so is absent):
+                # the per-packet python walk dominated the resident
+                # block-processing profile at ~1600 pkts/block
+                from ..runtime.native import deagg_vht
+                r.mpdus = deagg_vht(pb)
+                r.ok = len(r.mpdus) > 0
+            elif cfg.fmt == Fmt.HT and cfg.ampdu:
+                r.mpdus = MAC.ampdu_deaggregate(pb, ht=True)
                 r.ok = len(r.mpdus) > 0
             else:
                 from ..gold.bits import fcs_ok

@@ -101,6 +101,19 @@ def from_host(x: np.ndarray) -> CF:
               jnp.asarray(x.imag.astype(np.float32)))
 
 
+def from_host_bf16(x: np.ndarray) -> CF:
+    """Host complex ndarray -> device CF staged as bfloat16 (half the
+    upload bytes; ~49 dB SQNR, far below channel noise at any decodable
+    SNR).  The tunneled relay moves ~15 MB/s host->device (measured round
+    4), so raw-IQ ingest is transport-bound — bf16 doubles the lossless
+    ingest rate.  Downstream ops promote to f32 where they accumulate
+    (frontend._chunk4_rows, the factored derotation phasors)."""
+    import ml_dtypes
+    x = np.asarray(x)
+    return CF(jnp.asarray(x.real.astype(ml_dtypes.bfloat16)),
+              jnp.asarray(x.imag.astype(ml_dtypes.bfloat16)))
+
+
 def to_host(cf: CF) -> np.ndarray:
     return np.asarray(cf.re) + 1j * np.asarray(cf.im)
 

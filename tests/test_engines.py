@@ -66,6 +66,20 @@ def test_rx_engine_snr_rssi_metadata(mcs, snr_set):
         assert -6.0 < r.sssnr0 - snr_set < 2.0, (r.sssnr0, snr_set)
 
 
+def test_rx_engine_bf16_ingest_loopback():
+    """ingest_bf16=True (half the transport bytes) decodes identically at
+    working SNR."""
+    rng = np.random.default_rng(61)
+    mpdu, payload, cfg = _mk(rng, Fmt.VHT, 7, 1)
+    wave = gtx.tx_waveform(cfg, payload, group_id=0, partial_aid=0)
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.frame_stream(wave, 1.0, 650.0, num=4, gap=1100)
+    stream = channel.awgn(stream, rms / 10 ** (30 / 20), rng)
+    res = [r for r in RxEngine(nrx=1, ingest_bf16=True).process(stream)
+           if r.ok and r.mpdus[0] == mpdu]
+    assert len(res) == 4
+
+
 def test_tx_engine_mu_matches_gold():
     """Device-batched MU TX (tx_batch_mu) vs the gold MU waveform."""
     from gr_ieee80211_tpu.spec.params import MuConfig
