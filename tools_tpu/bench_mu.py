@@ -63,11 +63,16 @@ def main():
 
     n_ok, n_det = (int(x) for x in su2(dev))
     log(f"2x2 SU warmup: det {n_det}, ok {n_ok}/{B}")
-    n_rep = 10
+    # N dispatches + one pull, minus one relay RTT (pulls serialize at
+    # ~26 ms; see bench.py round-4 methodology note)
+    t0 = time.perf_counter()
+    int(su2(dev)[0])
+    rtt = time.perf_counter() - t0
+    n_rep = 40
     t0 = time.perf_counter()
     outs = [su2(dev) for _ in range(n_rep)]
     int(outs[-1][0])
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_rep
     out["su_2x2_vht_mcs7_500B_pkts_per_s"] = round(B / dt, 1)
     out["su_2x2_ok"] = n_ok
     log(f"2x2 SU: {B/dt:,.0f} pkt/s ({dt*1e3:.1f} ms/batch)")
@@ -101,9 +106,12 @@ def main():
     n_ok, n_det = (int(x) for x in mu0(mdev))
     log(f"MU-STA warmup: det {n_det}, ok {n_ok}/{B}")
     t0 = time.perf_counter()
+    int(mu0(mdev)[0])
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
     outs = [mu0(mdev) for _ in range(n_rep)]
     int(outs[-1][0])
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_rep
     out["mu_sta_vht_mcs3_pkts_per_s"] = round(B / dt, 1)
     out["mu_sta_ok"] = n_ok
     out["batch"] = B

@@ -67,28 +67,32 @@ def main():
         metric = "tx_synthesis_packets_per_s_per_chip_vht_mcs7_500B"
         call = lambda: f(arr, seeds)
 
-    # steady-state pipelined timing: keep 4 batches in flight and measure
-    # the arrival spacing of the scalar pulls (the relay's dispatch jitter
-    # averages out; a one-window wall measurement varied ~28% run to run)
+    # N-dispatch single-pull windows: every result PULL costs a full ~26 ms
+    # relay round trip (readbacks serialize at that cadence), so pulling
+    # per batch measures the relay, not the chip.  Dispatches queue freely
+    # and execute in order, so wall(N dispatches + one pull) - RTT ~= N x
+    # device time; three windows give a median + spread.
     float(call())
-    outs = [call() for _ in range(4)]
-    arrivals = []
-    for _ in range(24):
-        outs.append(call())
-        float(outs.pop(0))
-        arrivals.append(time.perf_counter())
-    for o in outs:
-        float(o)
-    ds = np.diff(arrivals)
-    dt = float(np.median(ds))
-    spread = float(np.percentile(ds, 90) / np.percentile(ds, 10) - 1)
-    print(f"{dt*1e3:.1f} ms/batch of {B}; wave {n_samp} samples/pkt; "
-          f"p90/p10 spread {spread:.0%}", file=sys.stderr)
+    t0 = time.perf_counter()
+    float(call())
+    rtt = time.perf_counter() - t0
+    N = 50
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [call() for _ in range(N)]
+        float(outs[-1])
+        dts.append(max(time.perf_counter() - t0 - rtt, 1e-9) / N)
+    dt = float(np.median(dts))
+    spread = float(max(dts) / min(dts) - 1)
+    print(f"{dt*1e3:.2f} ms/batch of {B}; wave {n_samp} samples/pkt; "
+          f"window spread {spread:.0%}; rtt {rtt*1e3:.1f} ms",
+          file=sys.stderr)
     print(json.dumps({
         "metric": metric,
         "value": round(B / dt, 1), "unit": "packets/s",
         "samples_per_s": round(B * n_samp / dt),
-        "p90_p10_spread": round(spread, 3)}))
+        "window_spread": round(spread, 3)}))
 
 
 if __name__ == "__main__":
