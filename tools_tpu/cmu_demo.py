@@ -8,6 +8,9 @@ servers and a simulated air channel:
   air -> each STA decodes its own stream -> reports on :9527 format.
 
 Everything crosses real UDP sockets in the reference wire format.
+The PHY server synthesizes on the accelerator (device_tx=True: the
+batched models.tx engines incl. the MU tx_batch_mu Q-einsum path);
+pass --gold-tx to use the numpy gold model instead.
 """
 import os
 import socket
@@ -21,11 +24,23 @@ from gr_ieee80211_tpu.gold import mac, rx as grx, channel, sounding
 from gr_ieee80211_tpu.runtime import udp_phy as U
 
 
+def _pop_wave(srv, timeout=180.0):
+    # the TX server synthesizes on its own thread; with device_tx the first
+    # request also pays a jit compile, so wait rather than racing .pop()
+    t0 = time.time()
+    while not srv.waves and time.time() - t0 < timeout:
+        time.sleep(0.02)
+    return srv.waves.pop()
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize latch
     rng = np.random.default_rng(7)
     h_sta = [(rng.normal(size=(1, 2)) + 1j * rng.normal(size=(1, 2))) / np.sqrt(2)
              for _ in range(2)]
-    srv = U.PhyTxServer(port=0)
+    srv = U.PhyTxServer(port=0, device_tx="--gold-tx" not in sys.argv)
     srv.start()
     ap = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     phy_addr = ("127.0.0.1", srv.port)
@@ -35,7 +50,7 @@ def main():
     t0 = time.time()
     while not srv.waves and time.time() - t0 < 5:
         time.sleep(0.02)
-    ndp = srv.waves.pop()
+    ndp = _pop_wave(srv)
 
     # 2) each STA receives the NDP and reports its channel row (type 20)
     fb_rows = []
@@ -71,7 +86,7 @@ def main():
     t0 = time.time()
     while not srv.waves and time.time() - t0 < 5:
         time.sleep(0.02)
-    mu_wave = srv.waves.pop()
+    mu_wave = _pop_wave(srv)
 
     # 5) each STA decodes only its own stream
     ok = True
