@@ -152,12 +152,16 @@ def _sync_core(stream: CF, trigs: jax.Array):
     (ltf_fine_sync_cfo), so no second per-row window is fetched.  The
     gather is bf16-staged: ~49 dB SQNR is far below channel noise at any
     decodable SNR, and the timing metric / CFO averages are 64-sample
-    reductions."""
-    wins = FE.gather_windows_bf16(stream, trigs, 464)
+    reductions.  The window fetch is the BLOCKED row gather (detection
+    triggers are 16-aligned; arbitrary trigs are rounded down to 16 and
+    offsets measured from the rounded base, so the returned absolute
+    ltf_idx stays consistent)."""
+    trigs16 = (trigs // 16) * 16
+    wins = FE.gather_windows_blocked_bf16(stream, trigs16, 464)
     cfo0 = FE.coarse_cfo_batch(wins[:, :80])
     off, peak, cfo, rssi = FE.ltf_fine_sync_cfo(wins[:, 80: 448], cfo0)
-    ltf_off = 80 + off                         # ltf_idx - trig, in [80, 208]
-    return trigs + ltf_off, peak, cfo, rssi
+    ltf_off = 80 + off                         # ltf_idx - trig16, [80, 208]
+    return trigs16 + ltf_off, peak, cfo, rssi
 
 
 @jax.jit

@@ -260,34 +260,83 @@ def dedup_triggers_device(cand: jax.Array, max_out: int,
     return jnp.where(pos >= 0, cand[jnp.maximum(pos, 0)], -1).astype(jnp.int32)
 
 
+def _gather_blocked(v, starts16: jax.Array, n: int, dt) -> jax.Array:
+    """Core blocked gather: 16-aligned starts -> (B, n) rows of ``v``
+    staged through dtype ``dt``, via whole-64-block row takes + a
+    4-residual masked combine (see gather_windows_blocked_bf16)."""
+    B = starts16.shape[0]
+    base_blk = starts16 // _GW_BL
+    r = starts16 - base_blk * _GW_BL              # {0, 16, 32, 48}
+    nb = -(-(n + _GW_BL - 16) // _GW_BL)          # covers r=48 + n span
+    pad = (-v.shape[0]) % _GW_BL + _GW_BL
+    rows = jnp.pad(v.astype(dt), (0, pad)).reshape(-1, _GW_BL)
+    bidx = base_blk[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
+    a = jnp.take(rows, bidx, axis=0).reshape(B, nb * _GW_BL)
+    out = jnp.zeros((B, n), jnp.float32)
+    for k in (0, 16, 32, 48):
+        m = (r == k).astype(jnp.float32)[:, None]
+        out = out + m * a[:, k: k + n].astype(jnp.float32)
+    return out
+
+
+def _gather_any(v, starts: jax.Array, n: int, dt) -> jax.Array:
+    """Blocked gather for ARBITRARY starts: fetch n+16 at the 16-aligned
+    base, then align the residual [0, 16) with a log2 shift cascade (4
+    masked select passes) — no per-row dynamic addressing anywhere.
+    ~5-20x faster than vmap(dynamic_slice), whose ~1.6 us/row flat
+    overhead dominated sync and payload fetches (measured round 4)."""
+    s16 = (starts // 16) * 16
+    rem = starts - s16
+    w = _gather_blocked(v, s16, n + 16, dt)
+    width = n + 16
+    for bit in (8, 4, 2, 1):
+        width -= bit
+        take = ((rem & bit) > 0)[:, None]
+        w = jnp.where(take, w[:, bit: bit + width], w[:, :width])
+    return w[:, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def gather_windows(x: CF, starts: jax.Array, n: int) -> CF:
-    """x (N,) + starts (B,) -> (B, n) windows via batched dynamic slicing."""
-    def one(s):
-        return CF(jax.lax.dynamic_slice(x.re, (s,), (n,)),
-                  jax.lax.dynamic_slice(x.im, (s,), (n,)))
-    return jax.vmap(one)(starts)
+    """x (N,) + starts (B,) -> (B, n) windows (f32-staged blocked gather,
+    arbitrary starts)."""
+    return CF(_gather_any(x.re, starts, n, jnp.float32),
+              _gather_any(x.im, starts, n, jnp.float32))
+
+
+_GW_BL = 64
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def gather_windows_blocked_bf16(x: CF, starts: jax.Array, n: int) -> CF:
+    """(B, n) window gather for 16-sample-aligned starts, ~20x faster than
+    the per-row dynamic-slice path.
+
+    Measured round 4 at (4096, 464): vmap(dynamic_slice) costs ~6.5 ms
+    (~1.6 us of per-row overhead regardless of width) while a ROW gather
+    of whole 64-sample blocks from the (N/64, 64) stream view runs at
+    0.34 ms.  Starts aligned to 16 (detection triggers are DETECT_STRIDE
+    multiples) leave only 4 possible 64-block residuals {0,16,32,48},
+    combined with masked shifted views of the fetched superset — three
+    extra elementwise passes, no per-row addressing.  Unaligned starts
+    are rounded DOWN to 16 (callers measuring offsets inside the window
+    must use the same rounding)."""
+    s16 = (starts // 16) * 16
+    return CF(_gather_blocked(x.re, s16, n, jnp.bfloat16),
+              _gather_blocked(x.im, s16, n, jnp.bfloat16))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def gather_windows_bf16(x: CF, starts: jax.Array, n: int) -> CF:
     """Window gather through a bfloat16 staging copy of the stream.
 
-    Dynamic gathers on this chip are effective-bandwidth bound (~6 GB/s);
-    halving the bytes cuts the payload window fetch ~30% (measured: 5.8 ->
-    4.1 ms device for (4096, 2100) windows).  bf16's 8-bit mantissa is
-    ~49 dB SQNR per sample — an order of magnitude below the channel noise
-    at any decodable SNR (MCS9 needs ~ -32 dB EVM), and far finer than the
-    12-bit ADCs feeding a real front end."""
-    re16 = x.re.astype(jnp.bfloat16)
-    im16 = x.im.astype(jnp.bfloat16)
-
-    def one(s):
-        return (jax.lax.dynamic_slice(re16, (s,), (n,)),
-                jax.lax.dynamic_slice(im16, (s,), (n,)))
-
-    r, i = jax.vmap(one)(starts)
-    return CF(r.astype(jnp.float32), i.astype(jnp.float32))
+    bf16 halves the staged bytes; its ~49 dB SQNR per sample is an order
+    of magnitude below the channel noise at any decodable SNR (MCS9 needs
+    ~ -32 dB EVM), and finer than the 12-bit ADCs feeding a real front
+    end.  Round 4 replaced the per-row dynamic-slice fetch with the
+    blocked row-take + shift cascade (_gather_any); arbitrary starts."""
+    return CF(_gather_any(x.re, starts, n, jnp.bfloat16),
+              _gather_any(x.im, starts, n, jnp.bfloat16))
 
 
 @jax.jit
