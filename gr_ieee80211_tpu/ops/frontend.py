@@ -272,11 +272,10 @@ def _gather_blocked(v, starts16: jax.Array, n: int, dt) -> jax.Array:
     rows = jnp.pad(v.astype(dt), (0, pad)).reshape(-1, _GW_BL)
     bidx = base_blk[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
     a = jnp.take(rows, bidx, axis=0).reshape(B, nb * _GW_BL)
-    out = jnp.zeros((B, n), jnp.float32)
-    for k in (0, 16, 32, 48):
-        m = (r == k).astype(jnp.float32)[:, None]
-        out = out + m * a[:, k: k + n].astype(jnp.float32)
-    return out
+    out = a[:, 0: n]
+    for k in (16, 32, 48):
+        out = jnp.where((r == k)[:, None], a[:, k: k + n], out)
+    return out                                    # stays in dt
 
 
 def _gather_any(v, starts: jax.Array, n: int, dt) -> jax.Array:
@@ -287,13 +286,13 @@ def _gather_any(v, starts: jax.Array, n: int, dt) -> jax.Array:
     overhead dominated sync and payload fetches (measured round 4)."""
     s16 = (starts // 16) * 16
     rem = starts - s16
-    w = _gather_blocked(v, s16, n + 16, dt)
+    w = _gather_blocked(v, s16, n + 16, dt)       # combine + cascade in dt
     width = n + 16
     for bit in (8, 4, 2, 1):
         width -= bit
         take = ((rem & bit) > 0)[:, None]
         w = jnp.where(take, w[:, bit: bit + width], w[:, :width])
-    return w[:, :n]
+    return w[:, :n].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -322,8 +321,10 @@ def gather_windows_blocked_bf16(x: CF, starts: jax.Array, n: int) -> CF:
     are rounded DOWN to 16 (callers measuring offsets inside the window
     must use the same rounding)."""
     s16 = (starts // 16) * 16
-    return CF(_gather_blocked(x.re, s16, n, jnp.bfloat16),
-              _gather_blocked(x.im, s16, n, jnp.bfloat16))
+    return CF(_gather_blocked(x.re, s16, n, jnp.bfloat16
+                              ).astype(jnp.float32),
+              _gather_blocked(x.im, s16, n, jnp.bfloat16
+                              ).astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

@@ -62,11 +62,14 @@ def main():
                                                     / np.sqrt(2))
         dev = from_host(stream[None])
         n_ok, n_det = (int(x) for x in chain(dev))     # warmup (compiled once)
-        n_rep = 8
+        t0 = time.perf_counter()
+        int(chain(dev)[0])
+        rtt = time.perf_counter() - t0
+        n_rep = 16
         t0 = time.perf_counter()
         outs = [chain(dev) for _ in range(n_rep)]
         int(outs[-1][0])
-        dt = (time.perf_counter() - t0) / n_rep
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_rep
         rows.append({"snr_db": snr, "ms_per_batch": round(dt * 1e3, 1),
                      "pkt_per_s": round(B / dt, 1), "n_ok": n_ok,
                      "n_det": n_det})
