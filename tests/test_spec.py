@@ -285,3 +285,28 @@ def test_dense_min_spacing_packets_all_detected():
     assert len(trigs) == n_pkts, len(trigs)
     res = [r for r in eng.process(stream) if r.ok and r.mpdus[0] == mpdu]
     assert len(res) == n_pkts, len(res)
+
+
+def test_blocked_gather_matches_numpy():
+    """The blocked row-take + shift-cascade gather == plain numpy windows
+    for arbitrary (unaligned) starts, f32 and bf16-staged, including
+    starts near the stream tail (clip semantics only affect rows whose
+    window overruns the stream, which callers valid-mask)."""
+    import jax.numpy as jnp
+    from gr_ieee80211_tpu.ops import frontend as FE
+    from gr_ieee80211_tpu.ops.cplx import CF
+    rng = np.random.default_rng(9)
+    N, Bw = 100000, 64
+    x = rng.normal(size=N).astype(np.float32)
+    y = rng.normal(size=N).astype(np.float32)
+    for n in (464, 531, 2116):
+        starts = np.concatenate([
+            rng.integers(0, N - n - 64, Bw - 4),
+            [0, 16, N - n - 1, N - n - 17]]).astype(np.int32)
+        cf = CF(jnp.asarray(x), jnp.asarray(y))
+        got = FE.gather_windows(cf, jnp.asarray(starts), n)
+        exp = np.stack([x[s: s + n] for s in starts])
+        assert np.array_equal(np.asarray(got.re), exp), n
+        got16 = FE.gather_windows_bf16(cf, jnp.asarray(starts), n)
+        err = np.abs(np.asarray(got16.re) - exp)
+        assert err.max() < 0.02, (n, err.max())   # bf16 quantization only

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--stats-every", type=float, default=5.0)
     ap.add_argument("--once", action="store_true",
                     help="with --file: drain and exit")
+    ap.add_argument("--f32-ingest", action="store_true",
+                    help="upload blocks as f32 pairs instead of bf16 "
+                         "(bf16 halves the host->device bytes; ~49 dB "
+                         "SQNR, below channel noise at any decodable SNR)")
     args = ap.parse_args()
     if (args.udp_iq is None) == (args.file is None):
         ap.error("exactly one of --udp-iq / --file required")
@@ -53,7 +57,8 @@ def main():
         ings = [NAT.UdpIngest(r, port=p) for r, p in zip(rings, args.udp_iq)]
         print("ingesting cf32 on udp:"
               + ",".join(str(i.port) for i in ings), file=sys.stderr)
-    eng = RxEngine(nrx=nrx, mu_pos=args.mu_pos, mu_gid=args.mu_gid)
+    eng = RxEngine(nrx=nrx, mu_pos=args.mu_pos, mu_gid=args.mu_gid,
+                   ingest_bf16=not args.f32_ingest)
     streamer = RxStreamer(rings, eng, block_len=args.block, halo=args.halo,
                           reporter=PhyRxReporter(port=args.report_port))
     streamer.start()
