@@ -44,6 +44,9 @@ def main():
     args = ap.parse_args()
     if (args.udp_iq is None) == (args.file is None):
         ap.error("exactly one of --udp-iq / --file required")
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize latch
 
     from gr_ieee80211_tpu.runtime import native as NAT
     from gr_ieee80211_tpu.runtime.udp_phy import PhyRxReporter
