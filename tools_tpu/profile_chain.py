@@ -6,12 +6,11 @@ payload demod (FFT+equalize+LLR+deinterleave), Viterbi ACS, traceback,
 descramble+CRC.  Used to aim kernel optimization; mirrors the reference's
 per-block clock-tick tables (tools/performance/Gr_WiFi_Time_Complexity_Report).
 
-NOTE on methodology: on the tunneled TPU backend a device->host readback
-costs ~26 ms of relay round-trip latency regardless of work, and
-``block_until_ready`` alone does NOT wait for completion.  Every stage is
-therefore timed by jitting ``sum(first-leaf slice)`` and pulling the scalar,
-so printed numbers INCLUDE one fixed round trip — subtract the "noop" line
-to get pure device time.
+NOTE on methodology (round 4): on the tunneled TPU backend a device->host
+readback costs ~26 ms of relay round trip regardless of work, result pulls
+SERIALIZE at that cadence, and ``block_until_ready`` does NOT wait.  Every
+stage is timed as N jitted-scalar dispatches + ONE pull, minus one
+measured round trip — the printed numbers are pure device time.
 """
 import sys
 import time
@@ -58,14 +57,17 @@ def main():
     print(f"backend={jax.default_backend()} B={B} stream={n_iq/1e6:.1f}M",
           file=sys.stderr)
 
-    def timeit(name, fn, *a, n=5, extra=""):
+    def timeit(name, fn, *a, n=12, extra=""):
         s = jax.jit(lambda *a: jnp.sum(
             jax.tree_util.tree_leaves(fn(*a))[0][..., :1].astype(jnp.float32)))
         float(s(*a))
         t0 = time.perf_counter()
-        for _ in range(n):
-            float(s(*a))
-        t = (time.perf_counter() - t0) / n
+        float(s(*a))
+        rtt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outs = [s(*a) for _ in range(n)]
+        float(outs[-1])
+        t = max(time.perf_counter() - t0 - rtt, 1e-9) / n
         print(f"{name:22s} {t*1e3:8.2f} ms   {extra}")
         return t, fn(*a)
 
