@@ -58,6 +58,7 @@ _NSYM_LADDER = (1, 2, 3, 4, 5, 6, 8, 10, 13, 16, 20, 26, 32, 40, 52, 64,
 _CANON_MERGE_STEPS = 96
 
 
+@functools.lru_cache(maxsize=4096)
 def canonical_cfg(cfg: PhyConfig) -> PhyConfig:
     """Round a data config's nsym up the ladder (padding the decode with
     garbage symbols) so many payload lengths share one compiled program.
@@ -583,6 +584,8 @@ class RxEngine:
         self.mu_pos = mu_pos          # MU-MIMO STA position (demod mupos)
         self.mu_gid = mu_gid          # group id filter (demod mugid), opt.
         self.ingest_bf16 = ingest_bf16
+        #: SIG-bits -> classification cache (pure parse; see process_device)
+        self._cls_cache: dict = {}
 
     # -- detection ---------------------------------------------------------
     def detect(self, stream0: jax.Array, max_out: int = 4096) -> np.ndarray:
@@ -628,15 +631,26 @@ class RxEngine:
         ht_b = sig_bits[:, 24:72]
         vht_b = sig_bits[:, 72:120]
 
-        # host-side classification into buckets
+        # host-side classification into buckets.  The parse is pure in the
+        # 120 SIG bits, so identical packets (the common case inside a
+        # block: same config/length) hit a per-engine cache instead of
+        # re-walking the python parsers — the classify loop dominated the
+        # daemon's host time at ~1600 pkts/block (results/PROFILE.md)
         buckets: dict[PhyConfig, list[int]] = {}
         meta: list[tuple] = []
         for i in range(len(ltf_idx)):
-            lsig = S.parse_lsig(lsig_b[i])
-            if not lsig.ok:
-                meta.append(None)
-                continue
-            cfg, ndp = self._classify(lsig, ht_b[i], vht_b[i])
+            key = sig_bits[i].tobytes()
+            ent = self._cls_cache.get(key)
+            if ent is None:
+                lsig = S.parse_lsig(lsig_b[i])
+                if not lsig.ok:
+                    ent = (None, None)
+                else:
+                    ent = self._classify(lsig, ht_b[i], vht_b[i])
+                if len(self._cls_cache) > 65536:
+                    self._cls_cache.clear()
+                self._cls_cache[key] = ent
+            cfg, ndp = ent
             if ndp is not None:
                 meta.append(("ndp", ndp))
                 continue
