@@ -88,11 +88,20 @@ def main():
     print(f"{dt*1e3:.2f} ms/batch of {B}; wave {n_samp} samples/pkt; "
           f"window spread {spread:.0%}; rtt {rtt*1e3:.1f} ms",
           file=sys.stderr)
-    print(json.dumps({
-        "metric": metric,
-        "value": round(B / dt, 1), "unit": "packets/s",
-        "samples_per_s": round(B * n_samp / dt),
-        "window_spread": round(spread, 3)}))
+    blob = {"metric": metric,
+            "value": round(B / dt, 1), "unit": "packets/s",
+            "samples_per_s": round(B * n_samp / dt),
+            "window_spread": round(spread, 3)}
+    print(json.dumps(blob))
+    import os
+    if os.path.isdir("results"):
+        path = "results/bench_tx.json"
+        try:
+            cur = json.load(open(path))
+        except Exception:
+            cur = {}
+        cur[metric] = blob
+        json.dump(cur, open(path, "w"), indent=1)
 
 
 if __name__ == "__main__":

@@ -1,8 +1,8 @@
 """Profile the syndrome-gated decode's fallback branches in isolation.
 
-CLAUDE.md "known headroom": high-SNR batches with a FEW syndrome failures
-pay +6-9 ms for the 128-row segmented tile against a ~2.5 ms roofline —
-never profiled.  This times, at the bench shape (B=4096, VHT MCS7 500 B):
+Round-4 outcome: this profile identified the dynamic-row SCATTER as the
++6-9 ms mid-SNR tile overhead (fixed with a one-hot MXU merge in
+ops/fastdecode).  Times, at the bench shape (B=4096, VHT MCS7 500 B):
 
   syn      inverse_and_syndrome alone
   fast     adaptive_decode, 0 failing rows (fast path)
@@ -13,9 +13,8 @@ never profiled.  This times, at the bench shape (B=4096, VHT MCS7 500 B):
   seg128   depuncture(128 rows) + segmented Pallas Viterbi alone
   scatter  d8.at[idx].set(bits) 128-row scatter alone
 
-Timing per CLAUDE.md: the tunneled backend's block_until_ready does not
-block, so every case is wrapped in a jitted scalar reduction and the float
-is pulled; medians of 5 steady-state reps after 2 warmups.
+Timing: N jitted-scalar dispatches + ONE pull minus one measured relay
+RTT (pulls serialize at ~26 ms on this backend; see bench.py).
 """
 import json
 import os
@@ -65,21 +64,19 @@ def main():
             x[r, pos] = -x[r, pos]
         return jnp.asarray(x)
 
-    def timeit(name, fn, *args, reps=12):
-        # steady-state: 4 batches in flight, median arrival spacing — a
-        # one-shot wall clock carries +-4-8 ms of relay jitter
+    def timeit(name, fn, *args, reps=15):
+        # N dispatches + ONE pull minus one RTT: result pulls serialize at
+        # the ~26 ms relay round trip, so per-pull timings measure the
+        # relay, not the chip (round-4 methodology, see bench.py)
         f = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
         float(f(*args))
-        outs = [f(*args) for _ in range(4)]
-        arrivals = []
-        for _ in range(reps):
-            outs.append(f(*args))
-            float(outs.pop(0))
-            arrivals.append(time.perf_counter())
-        for o in outs:
-            float(o)
-        ds = np.diff(arrivals) * 1e3
-        ms = float(np.median(ds))
+        t0 = time.perf_counter()
+        float(f(*args))
+        rtt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outs = [f(*args) for _ in range(reps)]
+        float(outs[-1])
+        ms = max(time.perf_counter() - t0 - rtt, 1e-9) / reps * 1e3
         print(f"{name:10s} {ms:8.2f} ms", file=sys.stderr, flush=True)
         return round(ms, 2)
 
