@@ -44,7 +44,6 @@ def main():
     rng = np.random.default_rng(0)
     msg = rng.integers(0, 2, (8, T_)).astype(np.uint8)
     msg[:, -6:] = 0
-    lanes = np.empty((8, 0), np.float32)
     coded_rows = []
     for i in range(8):
         c = GB.bcc_encode_punct(msg[i], cr).astype(np.float32)
