@@ -9,8 +9,10 @@ servers and a simulated air channel:
 
 Everything crosses real UDP sockets in the reference wire format.
 The PHY server synthesizes on the accelerator (device_tx=True: the
-batched models.tx engines incl. the MU tx_batch_mu Q-einsum path);
-pass --gold-tx to use the numpy gold model instead.
+batched models.tx engines incl. the MU tx_batch_mu Q-einsum path) and
+the STAs receive with the batched device engine (models.rx.RxEngine,
+NDP channel export + demod(mupos) MU role); pass --gold-tx / --gold-rx
+for the numpy gold models instead.
 """
 import os
 import socket
@@ -58,7 +60,11 @@ def main():
         stream = channel.awgn(channel.frame_stream(
             channel.mimo_channel(ndp, h_sta[u]), 1.0, 150.0 + 80 * u, gap=1200),
             0.0008, rng)
-        pkt = grx.receive(stream)[0]
+        if "--gold-rx" in sys.argv:
+            pkt = grx.receive(stream)[0]
+        else:
+            from gr_ieee80211_tpu.models.rx import RxEngine
+            pkt = [r for r in RxEngine(nrx=1).process(stream) if r.is_ndp][0]
         assert pkt.is_ndp
         blob = U.pack_chan_report(np.asarray(pkt.ndp_chan)[0])
         _, chan, _ = U.parse_phy_to_mac(blob)          # over-the-wire roundtrip
@@ -94,7 +100,11 @@ def main():
         stream = channel.awgn(channel.frame_stream(
             channel.mimo_channel(mu_wave, h_sta[u]), 1.0, 120.0, gap=1200),
             0.0008, rng)
-        pkt = grx.receive(stream, mu_pos=u)[0]
+        if "--gold-rx" in sys.argv:
+            pkt = grx.receive(stream, mu_pos=u)[0]
+        else:
+            from gr_ieee80211_tpu.models.rx import RxEngine
+            pkt = RxEngine(nrx=1, mu_pos=u).process(stream)[0]
         match = bool(pkt.ok and pkt.mpdus and pkt.mpdus[0] == m)
         ok &= match
         print(f"STA{u}: mu decode ok={pkt.ok} payload match={match}")
