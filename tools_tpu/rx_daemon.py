@@ -89,9 +89,17 @@ def main():
         while True:
             time.sleep(args.stats_every)
             s = [i.stats for i in ings]
+            # per-(fmt, mcs) tallies with mean SNR/RSSI: the reference
+            # decode block's debug print (lib/decode_impl.cc:393-411)
+            tallies = "  ".join(
+                f"{k[0].name if k[0] is not None else '?'}{k[1]}:"
+                f"{v['ok']}/{v['total']}"
+                f"@{v['snr_db_mean']:.0f}dB"
+                for k, v in sorted(streamer.counter_summary().items(),
+                                   key=str))
             print(f"blocks {streamer.n_blocks}  pkts ok "
-                  f"{streamer.n_ok}/{streamer.n_packets}  ingest {s}",
-                  file=sys.stderr)
+                  f"{streamer.n_ok}/{streamer.n_packets}  ingest {s}  "
+                  f"[{tallies}]", file=sys.stderr)
     except KeyboardInterrupt:
         pass
     finally:
