@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--port", type=int, default=9528)
     ap.add_argument("--gap", type=int, default=1200)
     ap.add_argument("--amp", type=float, default=0.2)
+    ap.add_argument("--gold-tx", action="store_true",
+                    help="synthesize with the numpy gold model instead "
+                         "of the device engines (tx_batch / tx_batch_mu)")
     args = ap.parse_args()
     if args.out is None and args.udp_out is None:
         ap.error("need --out and/or --udp-out")
@@ -38,7 +41,8 @@ def main():
                       udp_addr=[("127.0.0.1", p) for p in args.udp_out]
                       if args.udp_out else None,
                       gap=args.gap, amp=args.amp)
-    srv = PhyTxServer(sink=sink, port=args.port)
+    srv = PhyTxServer(sink=sink, port=args.port,
+                      device_tx=not args.gold_tx)
     srv.start()
     print(f"MAC->PHY requests on udp:{srv.port}; "
           f"{sink.n_streams} stream(s) -> {args.out or ''} "
