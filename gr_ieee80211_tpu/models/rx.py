@@ -332,11 +332,11 @@ def _sigb_snr(xs: CF, h: CF, data_start: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nrx", "mpdu_len",
-                                             "want_sssnr"))
+                                             "want_sssnr", "refine"))
 def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
                   cfo: jax.Array, nrx: int = 1, mpdu_len: int = 0,
                   n_real: jax.Array | None = None,
-                  want_sssnr: bool = False):
+                  want_sssnr: bool = False, refine: bool = True):
     """Full payload demod+decode for one config bucket.
 
     stream: (nrx, N); returns dict with psdu bytes (B, psdu_len), fcs_ok
@@ -359,6 +359,11 @@ def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     else:
         h, pilot_h = OF.nl_chanest(xs, 208 + 160 + 80, cfg.nltf, cfg.nss,
                                    nrx_axis=True)
+        if refine and cfg.nss == 1:
+            # L-LTF combine + delay-subspace projection (~-7 dB estimate
+            # noise, coherence-gated per row) — the reference uses the
+            # raw single-LTF estimate only (lib/demod_impl.cc)
+            h, pilot_h = OF.refine_chanest_siso(xs, h, pilot_h)
         if cfg.fmt == Fmt.HT:
             from ..ops.cplx import csum as _csum
             pilot_h = _csum(h[:, :, :, T.PILOT_IDX], axis=2)

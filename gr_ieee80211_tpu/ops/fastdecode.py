@@ -51,7 +51,8 @@ import numpy as np
 
 from ..spec import tables as T
 from . import viterbi as VXLA
-from .viterbi_pallas import viterbi_decode_pallas
+from .viterbi_pallas import (acs_sweep, traceback_sweep, viterbi_decode_pallas,
+                             _on_tpu)
 
 #: data bits per interior block — divisible by every puncture period's
 #: data count (1, 2, 3, 5) so one stencil matrix serves all block offsets
@@ -62,6 +63,27 @@ KB = 240
 #: smallest the kernel supports and covers sync outliers at working SNR.
 #: A second 4x tier softens the mid-SNR cliff before the full sweep.
 FALLBACK_B = 128
+
+#: windowed local re-decode (mid-SNR band): when many rows fail the
+#: syndrome but each carries only a few hard errors, the Viterbi runs on
+#: WIN_K-step windows around the error positions only, with WIN_W steps
+#: of overlap-save warmup on each side (>= the ~96-step survivor-merge
+#: depth, 64-block-aligned so the window fetch is a blocked row-take).
+#: Dirty flags dilate WIN_MARGIN steps across window boundaries so every
+#: data bit an error event can flip lands inside some re-decoded window's
+#: kept region.  Mirrors the reference's always-full Viterbi output
+#: (/root/reference/lib/decode_impl.cc:205-281) at a fraction of the
+#: sweep: dirty windows cost WIN_T lane-steps each vs T per full row.
+WIN_K = 256
+WIN_W = 128
+WIN_T = WIN_K + 2 * WIN_W          # 512 = 8 * T_CHUNK
+WIN_MARGIN = 64
+#: front-pad LLR strongly favoring coded bit 0: window 0 decodes its
+#: WIN_W-step pre-history as forced zero bits, which reproduces the
+#: state-0 start pin under the shared uniform initial metrics
+PIN_LLR = -1e5
+#: dirty-window count tiers (per batch) for the windowed lax.cond ladder
+WIN_TIERS = (2048, 8192, 16384)
 
 
 def _enc_matrix(nd: int) -> np.ndarray:
@@ -169,10 +191,10 @@ def _hard_inverse(hard_flat: jax.Array, cr: str, n_trellis: int) -> jax.Array:
     return d.reshape(B, -1)[:, :n_trellis]
 
 
-def _syndrome(d: jax.Array, hard_flat: jax.Array, cr: str, n_trellis: int,
+def _mismatch(d: jax.Array, hard_flat: jax.Array, cr: str, n_trellis: int,
               live: jax.Array | None = None) -> jax.Array:
-    """Per-row count of kept (and live) coded positions where
-    re-encode(d) != hard."""
+    """(B, 2*n_trellis) 0/1 indicator of kept (and live) coded positions
+    where re-encode(d) != hard."""
     B = d.shape[0]
     h = jnp.pad(d, ((0, 0), (6, 0)))
 
@@ -186,7 +208,7 @@ def _syndrome(d: jax.Array, hard_flat: jax.Array, cr: str, n_trellis: int,
     mism = jnp.abs(re - hard_flat) * keep[None, :]
     if live is not None:
         mism = mism * live
-    return jnp.sum(mism, axis=1).astype(jnp.int32)
+    return mism
 
 
 def inverse_and_syndrome(coded_llr: jax.Array, cr: str, n_trellis: int,
@@ -198,7 +220,9 @@ def inverse_and_syndrome(coded_llr: jax.Array, cr: str, n_trellis: int,
     fallback branches, and materializing it as a lax.cond operand costs
     ~145 MB of traffic the fast path never uses).  Returns (d8 (B, T)
     uint8 candidate, syn (B,) int32 per-row hard-error count over kept
-    positions in [0, n_real))."""
+    positions in [0, n_real)); the mismatch tensor fuses into the syn
+    reduction here — the windowed deep branch recomputes it privately
+    (see _mism_recompute)."""
     B = coded_llr.shape[0]
     idx, nk = VXLA.depuncture_indices(cr, n_trellis)
     hard = jnp.zeros((B, 2 * n_trellis), jnp.float32)
@@ -209,13 +233,122 @@ def inverse_and_syndrome(coded_llr: jax.Array, cr: str, n_trellis: int,
                 < 2 * n_real.astype(jnp.int32)[:, None]).astype(jnp.float32)
         hard = hard * live
     d = _hard_inverse(hard, cr, n_trellis)
-    syn = _syndrome(d, hard, cr, n_trellis, live)
+    mism = _mismatch(d, hard, cr, n_trellis, live)
+    syn = jnp.sum(mism, axis=1).astype(jnp.int32)
     return d.astype(jnp.uint8), syn
+
+
+def _mism_recompute(coded_llr: jax.Array, d8: jax.Array, cr: str,
+                    n_trellis: int, n_real: jax.Array | None) -> jax.Array:
+    """Recompute the (B, 2T) mismatch indicator from the candidate d8.
+
+    Called INSIDE the deep lax.cond branch: passing the mismatch tensor
+    computed by inverse_and_syndrome across the cond boundary would
+    force its ~145 MB materialization on the fast path too (cond branch
+    operands cannot stay fused); recomputing it here costs the deep
+    path a few cheap elementwise passes and the fast path nothing."""
+    B = coded_llr.shape[0]
+    idx, nk = VXLA.depuncture_indices(cr, n_trellis)
+    hard = jnp.zeros((B, 2 * n_trellis), jnp.float32)
+    hard = hard.at[:, idx].set((coded_llr[:, :nk] > 0).astype(jnp.float32))
+    live = None
+    if n_real is not None:
+        live = (jnp.arange(2 * n_trellis, dtype=jnp.int32)[None, :]
+                < 2 * n_real.astype(jnp.int32)[:, None]).astype(jnp.float32)
+        hard = hard * live
+    return _mismatch(d8.astype(jnp.float32), hard, cr, n_trellis, live)
+
+
+def _window_dirty(mism: jax.Array, n_trellis: int, nwin: int) -> jax.Array:
+    """(B, 2T) per-position mismatch -> (B, nwin) dirty window flags.
+
+    A window is dirty when any mismatch falls inside it or within
+    WIN_MARGIN steps on either side (an error event near a boundary can
+    flip decoded bits in the neighbor window's kept region).  Operates
+    on the flat depunctured view throughout (step t = flat 2t, 2t+1) —
+    a (B, T, 2) reshape here would force the 64x tile-padded layout."""
+    B = mism.shape[0]
+    m = jnp.pad(mism, ((0, 0), (0, 2 * (nwin * WIN_K - n_trellis))))
+    w = m.reshape(B, nwin, 2 * WIN_K)
+    own = jnp.sum(w, axis=2)
+    last = jnp.sum(w[:, :, 2 * (WIN_K - WIN_MARGIN):], axis=2)
+    first = jnp.sum(w[:, :, :2 * WIN_MARGIN], axis=2)
+    left = jnp.pad(last, ((0, 0), (1, 0)))[:, :nwin]
+    right = jnp.pad(first, ((0, 0), (0, 1)))[:, 1:]
+    return (own + left + right) > 0
+
+
+def _win_tile_fn(k: int, coded_llr: jax.Array, d8: jax.Array,
+                 dirty: jax.Array, cr: str, n_trellis: int, nwin: int):
+    """Windowed re-decode branch: Viterbi over the <=k dirty WIN_K-step
+    windows only (each with WIN_W warmup/overlap on both sides), merged
+    back into the algebraic candidate.
+
+    All data movement uses the measured-fast primitives: the window fetch
+    is a blocked row-take of whole 64-step blocks (never per-row dynamic
+    slices), and the merge-back is a rank-cumsum + row-take (never a
+    dynamic-row scatter) — see CLAUDE.md performance rules."""
+    B = coded_llr.shape[0]
+
+    def tile(_):
+        # depuncture to the FLAT (B, 2T) stream — never materialize a
+        # (B, T, 2) pairs tensor on the gather path: a gather forcing
+        # that layout pads the minor dim 2 -> 128 lanes on this backend
+        # (measured: 64x HBM blowup, ~31 ms; the flat view runs ~4 ms)
+        idxk, nk = VXLA.depuncture_indices(cr, n_trellis)
+        full = jnp.zeros((B, 2 * n_trellis), jnp.float32)
+        full = full.at[:, idxk].set(coded_llr[:, :nk])
+        P = WIN_W + nwin * WIN_K + WIN_W        # 2P = 512 * (nwin + 1)
+        flat = jnp.pad(full, ((0, 0), (2 * WIN_W,
+                                       2 * (P - WIN_W - n_trellis))))
+        # state-0 start pin for window 0: its WIN_W-step pre-history
+        # carries LLRs forcing coded bit 0 (windows w>0 never read it)
+        pin = (jnp.arange(2 * P, dtype=jnp.int32) < 2 * WIN_W)[None, :]
+        flat = jnp.where(pin, PIN_LLR, flat)
+        # window (b, w) spans flat positions [2wK, 2wK + 2*WIN_T) of row
+        # b = exactly rows [b*(nwin+1) + w, +2) of the (B*(nwin+1), 512)
+        # view — a blocked whole-row take, no per-row dynamic slices
+        v = flat.reshape(B * (nwin + 1), 512)
+        dflat = dirty.reshape(-1)
+        flat_idx = jnp.nonzero(dflat, size=k, fill_value=B * nwin)[0]
+        safe = jnp.minimum(flat_idx, B * nwin - 1)
+        b = safe // nwin
+        w = safe % nwin
+        base = b * (nwin + 1) + w
+        bidx = base[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]
+        # STRIDED extraction of the two LLR planes — a (k, WIN_T, 2)
+        # pairs reshape here materializes in the 2->128 tile-padded
+        # layout (measured +6.7 ms at k=8192); the stride-2 lane slices
+        # of the flat window stay layout-clean
+        win = jnp.take(v, bidx, axis=0).reshape(k, 2 * WIN_T)
+        llr0 = win[:, 0::2].transpose(1, 0)                  # (WIN_T, k)
+        llr1 = win[:, 1::2].transpose(1, 0)
+        interp = not _on_tpu()
+        pm0 = jnp.zeros((64, k), jnp.float32)                # uniform warmup
+        dec_lo, dec_hi, pm_f = acs_sweep(llr0, llr1, pm0, interpret=interp)
+        best = jnp.argmax(pm_f, axis=0)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (64, k), 0)
+        mask0 = (row_i == best[None, :]).astype(jnp.float32)
+        bits = traceback_sweep(dec_lo, dec_hi, mask0, interpret=interp)
+        kept = bits[WIN_W: WIN_W + WIN_K].transpose(1, 0)    # (k, WIN_K)
+        # merge back: each dirty slot's rank among dirty slots IS its row
+        # in `kept` (nonzero compaction preserves ascending order)
+        df = dflat.astype(jnp.int32)
+        rank = jnp.cumsum(df) - df
+        taken = jnp.take(kept, jnp.minimum(rank, k - 1), axis=0)
+        d8p = jnp.pad(d8, ((0, 0), (0, nwin * WIN_K - n_trellis)))
+        d8p = d8p.reshape(B * nwin, WIN_K)
+        sel = dflat & (rank < k)
+        merged = jnp.where(sel[:, None], taken.astype(jnp.uint8), d8p)
+        return merged.reshape(B, nwin * WIN_K)[:, :n_trellis]
+
+    return tile
 
 
 def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
                     fallback: int = FALLBACK_B,
-                    n_real: jax.Array | None = None) -> jax.Array:
+                    n_real: jax.Array | None = None,
+                    win_tiers: tuple = WIN_TIERS) -> jax.Array:
     """Depuncture + decode with the syndrome-gated fast path.
 
     coded_llr: (B, >=n_kept) punctured LLRs (positive = coded bit 1).
@@ -228,10 +361,12 @@ def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
     worst-case guarantee over pathological pad-region LLRs).
     Returns (B, n_trellis) uint8 — identical to the pure Viterbi path on
     every row whose decode matters: zero-syndrome rows are codeword
-    prefixes (fast path IS the ML output); other rows run the real
-    Viterbi via a tiered lane-tile ladder (fallback, 4x, 16x fallback,
-    full batch) so mid-SNR batches with few bad rows avoid the full
-    sweep.
+    prefixes (fast path IS the ML output); few failing rows run the real
+    Viterbi via a gathered lane tile; mid-SNR batches where MANY rows
+    fail but each carries only sparse hard errors re-decode the dirty
+    WIN_K-step windows only (windowed tier ladder on the total dirty
+    count); dense-error batches fall back to the full sweep (exact at
+    any SNR, segmented automatically when the tile cost model favors it).
     """
     B = coded_llr.shape[0]
     d8, syn = inverse_and_syndrome(coded_llr, cr, n_trellis, n_real)
@@ -269,10 +404,47 @@ def adaptive_decode(coded_llr: jax.Array, cr: str, n_trellis: int,
 
     def full(_):
         return viterbi_decode_pallas(
-            VXLA.depuncture(coded_llr, cr, n_trellis))
+            VXLA.depuncture(coded_llr, cr, n_trellis), segmented="auto")
 
+    nwin = -(-n_trellis // WIN_K)
+    wtiers = [t for t in sorted(win_tiers, reverse=True) if t < B * nwin]
+    use_win = n_trellis >= 4 * WIN_K and wtiers
     body = full
-    for k in [t for t in (16 * fallback, 4 * fallback, fallback) if t < B]:
+    if use_win:
+        def deep(_):
+            # dirty-window extraction traced INSIDE this branch only: the
+            # fast/row-tile paths never touch the mismatch tensor
+            mism = _mism_recompute(coded_llr, d8, cr, n_trellis, n_real)
+            dirty = _window_dirty(mism, n_trellis, nwin)
+            n_dirty = jnp.sum(dirty.astype(jnp.int32))
+            inner = full
+            for k in wtiers:
+                def wtier(_, k=k, nxt=inner):
+                    return jax.lax.cond(
+                        n_dirty <= k,
+                        _win_tile_fn(k, coded_llr, d8, dirty, cr,
+                                     n_trellis, nwin), nxt, None)
+                inner = wtier
+            return inner(None)
+
+        # cheap gate on the already-reduced total error count: when it is
+        # large (low-SNR sweeps: hundreds of hard errors per row) n_dirty
+        # is certainly over every tier, so skip the deep branch's
+        # mismatch recompute (~4 ms at B=4096) and go straight to the
+        # full sweep.  The 16x-per-window headroom reflects the measured
+        # mid-SNR regime where many weak (low-|LLR|) mismatches share
+        # windows (26 dB bench: 48k errors but only 3.6k dirty windows;
+        # 24 dB: 420k errors, 28k dirty -> correctly gated to full).
+        tot2 = 2 * jnp.sum(syn)
+
+        def gated(_):
+            return jax.lax.cond(tot2 <= 32 * wtiers[0], deep, full, None)
+
+        body = gated
+        row_tiers = (fallback,)
+    else:
+        row_tiers = (16 * fallback, 4 * fallback, fallback)
+    for k in [t for t in row_tiers if t < B]:
         def tier(_, k=k, nxt=body):
             return jax.lax.cond(n_fail <= k, tile_fn(k), nxt, None)
         body = tier

@@ -94,6 +94,92 @@ def nl_chanest(xs: CF, ltf_start: int, nltf: int, nss: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _delay_projector():
+    """(active idx, P_re, P_im): weighted LS projector onto the <=32-tap
+    delay subspace over the 56 non-legacy active tones.
+
+    A single-LTF channel estimate carries one full data-tone noise
+    variance COMMON to every data symbol of the packet — the dominant
+    mid-SNR impairment (measured: genie-h cuts 26 dB hard errors 150x).
+    Physical channels are confined to ~CP-length delay spread, so h lives
+    in a <=32-dim subspace of the 56-tone space (taps [-4, 28) cover the
+    1..15-early FFT window placement plus a full 16-tap CP spread);
+    projecting removes 56-32 noise dimensions with zero bias.  Guard-tone
+    nulls make naive IFFT-truncate biased — the weighted LS projector
+    (weights 3:1 for L-combined vs NL-only tones, see refine_chanest_siso)
+    handles the masked spectrum exactly."""
+    act = np.flatnonzero(_LTF_NL_NZ)
+    ks = np.where(act > 32, act - 64, act).astype(np.float64)
+    taps = np.arange(-4, 28)
+    F = np.exp(-2j * np.pi * ks[:, None] * taps[None, :] / 64)
+    wts = np.where(_LTF_L_NZ[act], 3.0, 1.0)
+    P = F @ np.linalg.solve((F.conj().T * wts[None, :]) @ F,
+                            F.conj().T * wts[None, :])
+    # numpy (not jnp): cached values must stay host constants or they leak
+    # tracers when first materialized inside another trace
+    return (act.astype(np.int32), P.real.astype(np.float32),
+            P.imag.astype(np.float32))
+
+
+#: legacy->NL LTF tone-power ratio (52 vs 56 active tones)
+_L_TO_NL_GAIN = float(np.sqrt(52.0 / 56.0))
+#: rows whose legacy-portion channel does not cohere with the NL estimate
+#: (beamformed SU: the L-preamble is sent without Q; or interference) keep
+#: the NL-only estimate — the combine must never corrupt those
+_REFINE_COH = 0.85
+
+
+def refine_chanest_siso(xs: CF, h: CF, pilot_h: CF) -> tuple[CF, CF]:
+    """1-stream channel-estimate refinement: L-LTF combine + delay-subspace
+    projection.  ~-7 dB estimate noise vs the raw single-LTF estimate.
+
+    The packet's OWN L-LTF (2 symbols, already inside the derotated
+    window) observes the same channel as the NL LTF for non-beamformed
+    1-stream transmissions: after the deterministic sqrt(52/56) tone-gain
+    and a per-row constant phase (residual CFO drift over the legacy->NL
+    gap, estimated from the estimates themselves), the two combine 2:1 by
+    symbol count.  A per-row coherence gate keeps rows where the two
+    channels genuinely differ on the raw NL estimate.  The combined
+    estimate then projects onto the delay subspace (_delay_projector).
+    The reference estimates from the NL LTF alone (gr-ieee80211
+    lib/demod_impl.cc LTF processing); this refinement is how the TPU
+    build beats it on mid-SNR PER and throughput.
+
+    xs: (B, nrx, n) derotated windows (origin = ltf_idx); h: (B, nrx, 1,
+    64); pilot_h: (B, nrx, 4).  Returns refined (h, pilot_h).
+    """
+    nrx = xs.shape[1]
+    act_np, pre_np, pim_np = _delay_projector()
+    act = jnp.asarray(act_np)
+    p_re = jnp.asarray(pre_np)
+    p_im = jnp.asarray(pim_np)
+    nzl = jnp.asarray(_LTF_L_NZ.astype(np.float32))
+    out_re, out_im = [], []
+    for r in range(nrx):
+        h_l = legacy_chanest(xs[:, r], 0) * _L_TO_NL_GAIN
+        h_n = h[:, r, 0]
+        num = csum(h_n.mul_conj(h_l) * nzl[None, :], axis=1)
+        e_l = jnp.sum((h_l.re ** 2 + h_l.im ** 2) * nzl[None, :], axis=1)
+        e_n = jnp.sum((h_n.re ** 2 + h_n.im ** 2) * nzl[None, :], axis=1)
+        coh = num.abs() / jnp.sqrt(jnp.maximum(e_l * e_n, 1e-12))
+        corr = num.unit()
+        h_lr = h_l * CF(corr.re[:, None], corr.im[:, None])
+        w_l = (2.0 * nzl[None, :]
+               * (coh > _REFINE_COH).astype(jnp.float32)[:, None])
+        hc_re = (w_l * h_lr.re + h_n.re) / (w_l + 1.0)
+        hc_im = (w_l * h_lr.im + h_n.im) / (w_l + 1.0)
+        a_re, a_im = hc_re[:, act], hc_im[:, act]
+        s_re = a_re @ p_re.T - a_im @ p_im.T
+        s_im = a_re @ p_im.T + a_im @ p_re.T
+        out_re.append(hc_re.at[:, act].set(s_re))
+        out_im.append(hc_im.at[:, act].set(s_im))
+    h_re = jnp.stack(out_re, axis=1)[:, :, None, :]
+    h_im = jnp.stack(out_im, axis=1)[:, :, None, :]
+    hr = CF(h_re, h_im)
+    return hr, CF(h_re[:, :, 0, T.PILOT_IDX], h_im[:, :, 0, T.PILOT_IDX])
+
+
+@functools.lru_cache(maxsize=None)
 def _pilot_matrix(fmt: Fmt, nss: int, nsym: int) -> np.ndarray:
     from ..gold.tx import data_pilots
     return data_pilots(fmt, nss, nsym).astype(np.float32)  # (nsym, nss, 4)

@@ -166,3 +166,64 @@ def test_tier_ladder_routes_mid_counts():
     pure = np.asarray(viterbi_decode_pallas(
         VXLA.depuncture(jnp.asarray(llr), cr, T)))
     assert np.array_equal(out, pure)
+
+
+def test_windowed_redecode_matches_pure_viterbi():
+    """Sparse hard errors across many rows route through the windowed
+    tier (n_fail > row tile, n_dirty <= win tier) and reproduce the pure
+    Pallas decode bit-for-bit, including first/last-window errors (the
+    state-0 pin and the zero-LLR tail)."""
+    rng = np.random.default_rng(7)
+    cr, T, B = "3/4", 1300, 32
+    flips = [2] * B          # every row fails the syndrome
+    llr, data, _ = _llr_batch(rng, cr, T, B, flips_per_row=flips)
+    llr[0, 1] = -llr[0, 1]            # first-window boundary
+    llr[1, -2] = -llr[1, -2]          # last-window tail
+    x = jnp.asarray(llr)
+    # fallback=16 < flips rows, so the 128-row tile can't take it; the
+    # (128,) win tier must (B*nwin = 192 slots, dirty ~70)
+    out = np.asarray(FD.adaptive_decode(x, cr, T, fallback=16,
+                                        win_tiers=(128,)))
+    ref = np.asarray(viterbi_decode_pallas(
+        jnp.asarray(VXLA.depuncture(x, cr, T))))
+    assert np.array_equal(out, ref)
+
+
+def test_windowed_dirty_overflow_falls_back_full():
+    """More dirty windows than the largest win tier -> full sweep, still
+    exact vs the pure Pallas decode."""
+    rng = np.random.default_rng(8)
+    cr, T, B = "1/2", 1300, 16
+    llr, data, Ns = _llr_batch(rng, cr, T, B)
+    mask = rng.random(llr.shape) < 0.03          # dense errors everywhere
+    llr = np.where(mask, -llr, llr)
+    x = jnp.asarray(llr.astype(np.float32))
+    out = np.asarray(FD.adaptive_decode(x, cr, T, fallback=4,
+                                        win_tiers=(128,)))
+    ref = np.asarray(viterbi_decode_pallas(
+        jnp.asarray(VXLA.depuncture(x, cr, T))))
+    assert np.array_equal(out, ref)
+
+
+def test_windowed_canon_n_real_rows_exact():
+    """Windowed tier + canonicalized rows: per-row n_real keeps the real
+    region exact when errors hit only live positions."""
+    rng = np.random.default_rng(9)
+    cr, T = "3/4", 1536
+    T_real = 1100
+    B = 24
+    data = rng.integers(0, 2, (B, T_real)).astype(np.uint8)
+    idx, nk = VXLA.depuncture_indices(cr, T)
+    _, nk_real = VXLA.depuncture_indices(cr, T_real)
+    llr = np.zeros((B, nk), np.float32)
+    for b in range(B):
+        cs = GB.bcc_encode_punct(data[b], cr)
+        llr[b, :len(cs)] = (cs.astype(np.float32) * 2 - 1) * 4.0
+    for b in range(B):                       # 2 live-region flips per row
+        pos = rng.choice(nk_real - 8, 2, replace=False)
+        llr[b, pos] = -llr[b, pos]
+    n_real = jnp.full((B,), T_real, jnp.int32)
+    out = np.asarray(FD.adaptive_decode(jnp.asarray(llr), cr, T,
+                                        fallback=4, n_real=n_real,
+                                        win_tiers=(128,)))
+    assert np.array_equal(out[:, :T_real], data)
