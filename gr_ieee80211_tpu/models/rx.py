@@ -360,10 +360,14 @@ def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
         h, pilot_h = OF.nl_chanest(xs, 208 + 160 + 80, cfg.nltf, cfg.nss,
                                    nrx_axis=True)
         if refine and cfg.nss == 1:
-            # L-LTF combine + delay-subspace projection (~-7 dB estimate
-            # noise, coherence-gated per row) — the reference uses the
-            # raw single-LTF estimate only (lib/demod_impl.cc)
-            h, pilot_h = OF.refine_chanest_siso(xs, h, pilot_h)
+            # L-LTF combine + decision-directed SIG observations +
+            # delay-subspace projection (near-genie estimate noise,
+            # coherence-gated per row) — the reference uses the raw
+            # single-LTF estimate only (lib/demod_impl.cc)
+            sigb_gi = data_start - 80 if cfg.fmt == Fmt.VHT else None
+            h, pilot_h = OF.refine_chanest_siso(xs, h, pilot_h,
+                                                fmt=cfg.fmt,
+                                                sigb_gi=sigb_gi)
         if cfg.fmt == Fmt.HT:
             from ..ops.cplx import csum as _csum
             pilot_h = _csum(h[:, :, :, T.PILOT_IDX], axis=2)

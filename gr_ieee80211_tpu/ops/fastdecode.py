@@ -55,8 +55,15 @@ from .viterbi_pallas import (acs_sweep, traceback_sweep, viterbi_decode_pallas,
                              _on_tpu)
 
 #: data bits per interior block — divisible by every puncture period's
-#: data count (1, 2, 3, 5) so one stencil matrix serves all block offsets
-KB = 240
+#: data count (1, 2, 3, 5) so one stencil matrix serves all block offsets.
+#: SMALL blocks localize the inverse: one channel hard error corrupts the
+#: candidate (and its re-encode mismatch) over at most the 3-block
+#: stencil span, so KB=60 confines each error's dirty footprint to ~180
+#: steps (~1-2 re-decode windows) where KB=240 smeared it over ~720
+#: (measured: 24 dB dirty windows 18.9k -> with KB=60 the same batch
+#: fits the windowed tier).  All four rates stay solvable and causal
+#: down to KB=30 (asserted at matrix build).
+KB = 60
 
 #: first fallback lane-tile capacity (rows re-decoded by the Pallas
 #: Viterbi when their syndrome is nonzero); a 128-lane tile is the

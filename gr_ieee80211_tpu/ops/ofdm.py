@@ -112,7 +112,9 @@ def _delay_projector():
     ks = np.where(act > 32, act - 64, act).astype(np.float64)
     taps = np.arange(-4, 28)
     F = np.exp(-2j * np.pi * ks[:, None] * taps[None, :] / 64)
-    wts = np.where(_LTF_L_NZ[act], 3.0, 1.0)
+    # nominal per-tone observation counts after the L-LTF combine and the
+    # decision-directed SIG passes (common L tones ~6, NL-only edge ~2)
+    wts = np.where(_LTF_L_NZ[act], 6.0, 2.0)
     P = F @ np.linalg.solve((F.conj().T * wts[None, :]) @ F,
                             F.conj().T * wts[None, :])
     # numpy (not jnp): cached values must stay host constants or they leak
@@ -129,7 +131,9 @@ _L_TO_NL_GAIN = float(np.sqrt(52.0 / 56.0))
 _REFINE_COH = 0.85
 
 
-def refine_chanest_siso(xs: CF, h: CF, pilot_h: CF) -> tuple[CF, CF]:
+def refine_chanest_siso(xs: CF, h: CF, pilot_h: CF,
+                        fmt: Fmt | None = None,
+                        sigb_gi: int | None = None) -> tuple[CF, CF]:
     """1-stream channel-estimate refinement: L-LTF combine + delay-subspace
     projection.  ~-7 dB estimate noise vs the raw single-LTF estimate.
 
@@ -145,8 +149,18 @@ def refine_chanest_siso(xs: CF, h: CF, pilot_h: CF) -> tuple[CF, CF]:
     lib/demod_impl.cc LTF processing); this refinement is how the TPU
     build beats it on mid-SNR PER and throughput.
 
+    Decision-directed SIG observations: the L-SIG / HT-SIG / VHT-SIG-A /
+    VHT-SIG-B symbols are (Q)BPSK — hard-slicing the equalized tone signs
+    recovers each symbol's ideal grid without any Viterbi, giving 3-4
+    extra channel observations per packet (sign errors at packet-
+    decodable SNR are per-tone BPSK rare).  Each observation is phase-
+    aligned to the running estimate from its own data tones (no pilot
+    polarity bookkeeping) and coherence-gated like the L-LTF.
+
     xs: (B, nrx, n) derotated windows (origin = ltf_idx); h: (B, nrx, 1,
-    64); pilot_h: (B, nrx, 4).  Returns refined (h, pilot_h).
+    64); pilot_h: (B, nrx, 4).  fmt/sigb_gi: enable the SIG-symbol
+    observations for the given format (sigb_gi = data_start - 80 for
+    VHT; None otherwise).  Returns refined (h, pilot_h).
     """
     nrx = xs.shape[1]
     act_np, pre_np, pim_np = _delay_projector()
@@ -154,20 +168,70 @@ def refine_chanest_siso(xs: CF, h: CF, pilot_h: CF) -> tuple[CF, CF]:
     p_re = jnp.asarray(pre_np)
     p_im = jnp.asarray(pim_np)
     nzl = jnp.asarray(_LTF_L_NZ.astype(np.float32))
+    nznl = jnp.asarray(_LTF_NL_NZ.astype(np.float32))
+    # QBPSK SIG symbols rotate only the DATA tones; their pilots stay
+    # real BPSK, so imag-slicing them would inject wrong-phase values —
+    # QBPSK observations cover data tones only
+    dmask_np = np.zeros(64, np.float32)
+    dmask_np[T.DATA_IDX_L] = 1.0
+    dmask = jnp.asarray(dmask_np)
+
+    def gated_obs(obs: CF, ref: CF, nz: jax.Array):
+        """Phase-align a decision-directed observation to ``ref`` and
+        coherence-gate it; returns (aligned CF, per-row weight)."""
+        num = csum(ref.mul_conj(obs) * nz[None, :], axis=1)
+        e_o = jnp.sum((obs.re ** 2 + obs.im ** 2) * nz[None, :], axis=1)
+        e_r = jnp.sum((ref.re ** 2 + ref.im ** 2) * nz[None, :], axis=1)
+        coh = num.abs() / jnp.sqrt(jnp.maximum(e_o * e_r, 1e-12))
+        corr = num.unit()
+        rot = obs * CF(corr.re[:, None], corr.im[:, None])
+        return rot, (coh > _REFINE_COH).astype(jnp.float32)
+
     out_re, out_im = [], []
     for r in range(nrx):
         h_l = legacy_chanest(xs[:, r], 0) * _L_TO_NL_GAIN
         h_n = h[:, r, 0]
-        num = csum(h_n.mul_conj(h_l) * nzl[None, :], axis=1)
-        e_l = jnp.sum((h_l.re ** 2 + h_l.im ** 2) * nzl[None, :], axis=1)
-        e_n = jnp.sum((h_n.re ** 2 + h_n.im ** 2) * nzl[None, :], axis=1)
-        coh = num.abs() / jnp.sqrt(jnp.maximum(e_l * e_n, 1e-12))
-        corr = num.unit()
-        h_lr = h_l * CF(corr.re[:, None], corr.im[:, None])
-        w_l = (2.0 * nzl[None, :]
-               * (coh > _REFINE_COH).astype(jnp.float32)[:, None])
-        hc_re = (w_l * h_lr.re + h_n.re) / (w_l + 1.0)
-        hc_im = (w_l * h_lr.im + h_n.im) / (w_l + 1.0)
+        h_lr, g_l = gated_obs(h_l, h_n, nzl)
+        w_l = 2.0 * nzl[None, :] * g_l[:, None]
+        num_re = w_l * h_lr.re + h_n.re
+        num_im = w_l * h_lr.im + h_n.im
+        den = w_l + 1.0
+        if fmt is not None:
+            # decision-directed (Q)BPSK SIG symbols on the legacy layout:
+            # VHT = L-SIG(re) + SIG-A1(re) + SIG-A2(im);
+            # HT = L-SIG(re) + HT-SIG1(im) + HT-SIG2(im)
+            qbpsk = ((False, False, True) if fmt == Fmt.VHT
+                     else (False, True, True))
+            running = CF(num_re / den, num_im / den)
+            for gi, qb in zip((128, 208, 288), qbpsk):
+                g = fft_syms(xs[:, r, gi + 16: gi + 80])
+                eq = g.mul_conj(running)          # ~ s * |h|^2 (+noise)
+                if qb:                            # ideal = j*s, s = ±1
+                    s = jnp.sign(eq.im) + (eq.im == 0)
+                    obs = CF(g.im * s, -g.re * s)
+                    m = dmask
+                else:                             # ideal = s (pilots too)
+                    s = jnp.sign(eq.re) + (eq.re == 0)
+                    obs = CF(g.re * s, g.im * s)
+                    m = nzl
+                o, g_i = gated_obs(obs, running, m)
+                w_i = m[None, :] * (g_l * g_i)[:, None]
+                num_re = num_re + w_i * o.re
+                num_im = num_im + w_i * o.im
+                den = den + w_i
+            if sigb_gi is not None:               # VHT-SIG-B: NL layout
+                running = CF(num_re / den, num_im / den)
+                g = fft_syms(xs[:, r, sigb_gi + 16: sigb_gi + 80])
+                eq = g.mul_conj(running)
+                s = jnp.sign(eq.re) + (eq.re == 0)
+                obs = CF(g.re * s, g.im * s)
+                o, g_i = gated_obs(obs, running, nznl)
+                w_i = nznl[None, :] * g_i[:, None]
+                num_re = num_re + w_i * o.re
+                num_im = num_im + w_i * o.im
+                den = den + w_i
+        hc_re = num_re / den
+        hc_im = num_im / den
         a_re, a_im = hc_re[:, act], hc_im[:, act]
         s_re = a_re @ p_re.T - a_im @ p_im.T
         s_im = a_re @ p_im.T + a_im @ p_re.T
