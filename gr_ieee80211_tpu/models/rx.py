@@ -619,7 +619,13 @@ class RxEngine:
         # ONE fused dispatch + ONE readback for the whole front end
         # (detect/dedup/sync/SIG); max_pkts is padded to a power of two so
         # variable per-block packet counts share a compiled program
-        cap = max(16, min(4096, n_stream // 720 + 1))
+        # capacity from the real minimum trigger spacing: dedup keeps
+        # triggers > TRIG_DEDUP_SPACING apart, but 16-sample detection
+        # quantization can place them at the next multiple of 16 below
+        # (704 for spacing 700) — deriving from 720 could silently drop
+        # excess triggers in a dense minimum-spacing block (ADVICE r4)
+        min_sp = (TRIG_DEDUP_SPACING // 16) * 16
+        cap = max(16, min(4096, n_stream // min_sp + 1))
         max_pkts = 1 << (cap - 1).bit_length()
         meta_d, bits_d = _front_core(dev[0], max_pkts)
         got = jax.device_get((meta_d, bits_d))

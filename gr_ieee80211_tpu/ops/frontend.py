@@ -25,13 +25,18 @@ _MOVSUM_BLK = 1 << 15
 
 
 def _movsum(x: jax.Array, w: int) -> jax.Array:
-    """Moving window sum, aligned so out[n] = sum x[n:n+w] (w <= 64).
+    """Moving window sum, aligned so out[n] = sum x[n:n+w].
+
+    Supports any w with w - 1 <= _MOVSUM_BLK (asserted); small windows
+    (detection correlators) and the larger confirm windows used by the
+    sharded front end (parallel.mesh) both qualify.
 
     A single cumsum-difference drifts in float32 over multi-megasample
     streams (observed as missed triggers beyond ~5M samples on TPU), so the
     stream is cut into 32k blocks with w-sample overlap and the cumsum is
     reset per block, bounding the accumulated error.
     """
+    assert w - 1 <= _MOVSUM_BLK, w
     n_out = x.shape[-1] - w + 1
     if x.ndim > 1 or x.shape[-1] <= _MOVSUM_BLK:
         c = jnp.cumsum(x, axis=-1)
@@ -263,7 +268,12 @@ def dedup_triggers_device(cand: jax.Array, max_out: int,
 def _gather_blocked(v, starts16: jax.Array, n: int, dt) -> jax.Array:
     """Core blocked gather: 16-aligned starts -> (B, n) rows of ``v``
     staged through dtype ``dt``, via whole-64-block row takes + a
-    4-residual masked combine (see gather_windows_blocked_bf16)."""
+    4-residual masked combine (see gather_windows_blocked_bf16).
+
+    Windows overrunning the stream tail read ZEROS past the end (the
+    padded block view), unlike the old vmap(dynamic_slice) path which
+    clamped the start and returned real tail samples — callers must
+    valid-mask rows whose window exceeds the stream (they all do)."""
     B = starts16.shape[0]
     base_blk = starts16 // _GW_BL
     r = starts16 - base_blk * _GW_BL              # {0, 16, 32, 48}
@@ -298,7 +308,7 @@ def _gather_any(v, starts: jax.Array, n: int, dt) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("n",))
 def gather_windows(x: CF, starts: jax.Array, n: int) -> CF:
     """x (N,) + starts (B,) -> (B, n) windows (f32-staged blocked gather,
-    arbitrary starts)."""
+    arbitrary starts; zeros past the stream end — see _gather_blocked)."""
     return CF(_gather_any(x.re, starts, n, jnp.float32),
               _gather_any(x.im, starts, n, jnp.float32))
 

@@ -173,12 +173,26 @@ class TxStreamer:
 
     ``path``/``udp_addr`` accept a single value (antenna 0 only) or a list
     with one entry per antenna; n_streams = the longest list.
+
+    ``timed=True`` enables pad2's scheduled-emission contract
+    (lib/pad2_impl.cc:154-160: UHD ``tx_time`` tags at now + 1 ms): each
+    burst is placed at stream sample ``current position + lead`` with
+    explicit inter-burst silence, so burst starts are sample-accurate in
+    the emitted stream (``lead`` defaults to 1 ms at 20 Msps).  The
+    stream-position clock stands in for the USRP hardware clock — no
+    radio exists here, but the emitted artifact carries the same timing.
     """
 
     def __init__(self, path=None, udp_addr=None, gap: int = 1200,
-                 amp: float = 1.0):
+                 amp: float = 1.0, timed: bool = False, lead: int = 20000):
         self.gap = gap
         self.amp = amp
+        self.timed = timed
+        self.lead = lead
+        #: absolute sample index of the next write in the emitted stream
+        self.stream_pos = 0
+        #: absolute start sample of each emitted burst (timed mode)
+        self.burst_starts: list[int] = []
         paths = list(path) if isinstance(path, (list, tuple)) else \
             ([path] if path else [])
         addrs = list(udp_addr) if udp_addr and isinstance(udp_addr[0], tuple) \
@@ -193,11 +207,21 @@ class TxStreamer:
 
     def __call__(self, waveform: np.ndarray, req=None):
         w = np.atleast_2d(np.asarray(waveform, np.complex64)) * self.amp
-        n = w.shape[1] + self.gap
+        if self.timed:
+            # scheduled emission: silence up to stream_pos + lead, then
+            # the burst — sample-accurate placement (the tx_time contract)
+            pre = self.lead
+            start = self.stream_pos + pre
+            self.burst_starts.append(start)
+            n = pre + w.shape[1]
+            off = pre
+        else:
+            n = w.shape[1] + self.gap
+            off = 0
         for i in range(self.n_streams):
             burst = np.zeros(n, np.complex64)   # pad2 zero-fill for 1SS
             if i < w.shape[0]:
-                burst[: w.shape[1]] = w[i]
+                burst[off: off + w.shape[1]] = w[i]
             if self._f[i] is not None:
                 burst.tofile(self._f[i])
                 self._f[i].flush()
@@ -207,6 +231,7 @@ class TxStreamer:
                 step = 4096 * 8
                 for o in range(0, len(raw), step):
                     self._sock.sendto(raw[o: o + step], self._addr[i])
+        self.stream_pos += n
         self.n_bursts += 1
 
     def close(self):

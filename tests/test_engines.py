@@ -227,3 +227,23 @@ def test_rx_engine_rx_diversity_1ss_2rx():
     res = [r for r in RxEngine(nrx=2).process(stream)
            if r.ok and r.mpdus and r.mpdus[0] == mpdu]
     assert len(res) == 3
+
+
+def test_rx_engine_multi_mpdu_ampdu_ht():
+    """3-MPDU HT A-MPDU through the jitted engine path: the HT delimiter
+    walk (4-byte delimiters, no EOF padding subframes) recovers every
+    subframe (reference walk: lib/decode_impl.cc:325-427)."""
+    rng = np.random.default_rng(62)
+    mpdus = [mac.qos_data_frame(bytes(rng.integers(0, 256, 36 + 24 * k,
+                                                   dtype=np.uint8)),
+                                "02:00:00:00:00:01", "02:00:00:00:00:02",
+                                "02:00:00:00:00:01", k) for k in range(3)]
+    am = mac.ampdu_aggregate_ht(mpdus)
+    cfg = PhyConfig(Fmt.HT, 4, 1, len(am), ampdu=True)
+    wave = gtx.tx_waveform(cfg, am)[0]
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.frame_stream(wave, 1.0, 400.0, num=2, gap=1000)
+    stream = channel.awgn(stream, rms / 10 ** (32 / 20), rng)
+    res = [r for r in RxEngine(nrx=1).process(stream) if r.ok]
+    assert len(res) == 2
+    assert all(r.mpdus == mpdus for r in res)

@@ -202,3 +202,39 @@ def test_mu_closed_loop_compressed_feedback():
         stream = channel.awgn(stream, 0.012 / 10 ** (30 / 20), rng)
         p = rx.receive(stream, mu_pos=u)[0]
         assert p.ok and p.mu and p.mpdus[0] == mpdu
+
+
+def test_cmu_offline_tool_loop(tmp_path):
+    """cmu_v4 offline-analysis parity (tools_tpu/cmu_offline.py): saved
+    LTF captures -> compressed feedback wire round trip -> ZF Q -> MU
+    waveform, and each STA decodes its own stream from the artifact
+    (reference: tools/cmu_v4/cmu_ap_offline.py)."""
+    import subprocess, sys as _sys, os as _os
+    import numpy as np
+    from gr_ieee80211_tpu.utils.io import read_cf32
+    from gr_ieee80211_tpu.gold import channel, mac
+    from gr_ieee80211_tpu.models.rx import RxEngine
+    c0, c1 = str(tmp_path / "c0.bin"), str(tmp_path / "c1.bin")
+    out = str(tmp_path / "mu")
+    env = dict(_os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([_sys.executable, "tools_tpu/cmu_offline.py",
+                        "--demo", "--chan0", c0, "--chan1", c1,
+                        "--out", out, "--mcs", "2"],
+                       capture_output=True, text=True, env=env,
+                       cwd=_os.path.dirname(_os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    wave = np.stack([read_cf32(f"{out}_2x2_{i}.bin") for i in range(2)])
+    # reproduce the demo channels (same seed path as the tool)
+    rng = np.random.default_rng(7)
+    h_sta = [(rng.normal(size=(1, 2)) + 1j * rng.normal(size=(1, 2)))
+             / np.sqrt(2) for _ in range(2)]
+    texts = [b"1234567 packet for station 000",
+             b"7654321 packet for station 111"]
+    for u in range(2):
+        stream = channel.awgn(channel.frame_stream(
+            channel.mimo_channel(wave, h_sta[u]), 1.0, 300.0, gap=1200),
+            0.0008, np.random.default_rng(u))
+        pkts = [p for p in RxEngine(nrx=1, mu_pos=u).process(stream)
+                if p.ok and p.mpdus]
+        assert pkts, f"STA{u} decoded nothing"
+        assert texts[u] in pkts[0].mpdus[0]

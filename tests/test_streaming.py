@@ -133,3 +133,24 @@ def test_block_boundary_packet_owned_by_trigger():
     edge = [r for r in ok if r.trig > block - 200]
     assert len(edge) == 1 and edge[0].trig < block <= edge[0].start
     ring.close()
+
+
+def test_tx_streamer_timed_burst_placement(tmp_path):
+    """pad2 tx_time contract: timed bursts land at sample-accurate
+    scheduled positions (stream position + lead) with explicit
+    inter-burst silence (lib/pad2_impl.cc:154-160)."""
+    from gr_ieee80211_tpu.utils.io import read_cf32
+    rng = np.random.default_rng(5)
+    p = str(tmp_path / "timed.bin")
+    sink = TxStreamer(path=p, timed=True, lead=1200)
+    w0 = (rng.normal(size=300) + 1j * rng.normal(size=300)).astype(np.complex64)
+    w1 = (rng.normal(size=500) + 1j * rng.normal(size=500)).astype(np.complex64)
+    sink(w0)
+    sink(w1)
+    sink.close()
+    out = read_cf32(p)
+    s0, s1 = sink.burst_starts
+    assert s0 == 1200 and s1 == 1200 + 300 + 1200
+    assert np.array_equal(out[s0: s0 + 300], w0)
+    assert np.array_equal(out[s1: s1 + 500], w1)
+    assert not out[:s0].any() and not out[s0 + 300: s1].any()

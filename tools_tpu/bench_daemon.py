@@ -102,7 +102,8 @@ def run_rate(cap, pkts_per_cap, rate_msps, seconds, block_len, halo):
             if w < n_try:           # ring full: the remainder is lost
                 dropped += n_try - w
             off = end
-            fed += n_try
+            fed += w                # accepted samples only (ADVICE r4):
+                                    # achieved_msps reflects true ingest
     feed_s = time.perf_counter() - t0
     streamer.stop(drain=True, timeout=600)
     streamer.join(timeout=600)
