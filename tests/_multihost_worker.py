@@ -28,7 +28,7 @@ def build_stream():
     am = mac.ampdu_aggregate_vht([mpdu])
     cfg = PhyConfig(Fmt.VHT, 2, 1, len(am), ampdu=True)
     wave = tx.tx_waveform(cfg, am, group_id=0, partial_aid=0)[0]
-    n_pkt = 16
+    n_pkt = int(os.environ.get("MH_NPKT", "16"))   # weak scaling: ∝ procs
     spacing = len(wave) + 1400
     n_total = -(-(n_pkt * spacing + 4096) // 8) * 8
     stream = np.zeros(n_total, np.complex64)
@@ -56,7 +56,14 @@ def main():
                                             max_pkts_per_shard=max(8, n_pkt))
         with mesh:
             n_ok, n_det = (int(x) for x in chain(gstream))
+            ts = []
+            for _ in range(5):           # steady-state chain timing
+                t0 = time.perf_counter()
+                int(chain(gstream)[1])
+                ts.append((time.perf_counter() - t0) * 1e3)
+        ts = sorted(ts)
         print(f"RESULT ok={n_ok} det={n_det}", flush=True)
+        print(f"SPTIME ms={ts[len(ts) // 2]:.1f}", flush=True)
         return
 
     # dp: packet-sharded decode across hosts, per-host window ingest +
