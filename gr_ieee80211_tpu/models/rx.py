@@ -588,11 +588,16 @@ class RxEngine:
     """Streaming receiver over a (nrx, N) IQ timeline."""
 
     def __init__(self, nrx: int = 1, mu_pos: int | None = None,
-                 mu_gid: int | None = None, ingest_bf16: bool = False):
+                 mu_gid: int | None = None, ingest_bf16: bool = False,
+                 ingest: str | None = None):
         self.nrx = nrx
         self.mu_pos = mu_pos          # MU-MIMO STA position (demod mupos)
         self.mu_gid = mu_gid          # group id filter (demod mugid), opt.
-        self.ingest_bf16 = ingest_bf16
+        #: upload staging: "f32" (exact), "bf16" (half bytes, ~49 dB
+        #: SQNR) or "i8" (quarter bytes, ~48 dB block-AGC quantization —
+        #: the 8-bit-ADC ingest for the transport-bound streaming path)
+        self.ingest = ingest or ("bf16" if ingest_bf16 else "f32")
+        self.ingest_bf16 = self.ingest == "bf16"
         #: SIG-bits -> classification cache (pure parse; see process_device)
         self._cls_cache: dict = {}
 
@@ -607,15 +612,37 @@ class RxEngine:
     # -- full pipeline -----------------------------------------------------
     def process(self, stream: np.ndarray) -> list[RxResult]:
         stream = np.atleast_2d(stream)
-        # bf16 ingest halves the transport bytes (the tunneled relay moves
-        # ~15 MB/s host->device); opt-in since golden-parity tests compare
-        # float32 paths
-        fh = from_host_bf16 if self.ingest_bf16 else from_host
-        return self.process_device(fh(stream), stream.shape[1])
+        return self.process_device(self._upload(stream), stream.shape[1])
 
-    def process_device(self, dev, n_stream: int) -> list[RxResult]:
-        """Run the full engine on an already-device-resident (nrx, N) CF
-        stream (the block-processing path of :meth:`process`)."""
+    def _upload(self, stream: np.ndarray):
+        # reduced-precision ingest cuts the transport bytes (the tunneled
+        # relay moves ~15-24 MB/s host->device); opt-in since golden-
+        # parity tests compare float32 paths
+        from ..ops.cplx import from_host_i8
+        fh = {"f32": from_host, "bf16": from_host_bf16,
+              "i8": from_host_i8}[self.ingest]
+        return fh(stream)
+
+    def begin_process(self, stream: np.ndarray):
+        """Dispatch the upload + fused front end WITHOUT blocking.
+
+        Returns an opaque handle for :meth:`finish_process`.  jax's async
+        dispatch queues the host->device transfer and the front-end
+        program immediately, so a streaming caller can overlap block
+        k+1's upload/front compute with block k's readbacks + bucket
+        decodes (the RxStreamer double-buffering path)."""
+        stream = np.atleast_2d(stream)
+        dev = self._upload(stream)
+        n_stream = stream.shape[1]
+        meta_d, bits_d = self._front_dispatch(dev, n_stream)
+        return (dev, n_stream, meta_d, bits_d)
+
+    def finish_process(self, handle) -> list[RxResult]:
+        """Block on a :meth:`begin_process` handle's front-end readback and
+        run classification + bucket decodes to completion."""
+        return self._finish(*handle)
+
+    def _front_dispatch(self, dev, n_stream: int):
         # ONE fused dispatch + ONE readback for the whole front end
         # (detect/dedup/sync/SIG); max_pkts is padded to a power of two so
         # variable per-block packet counts share a compiled program
@@ -627,7 +654,15 @@ class RxEngine:
         min_sp = (TRIG_DEDUP_SPACING // 16) * 16
         cap = max(16, min(4096, n_stream // min_sp + 1))
         max_pkts = 1 << (cap - 1).bit_length()
-        meta_d, bits_d = _front_core(dev[0], max_pkts)
+        return _front_core(dev[0], max_pkts)
+
+    def process_device(self, dev, n_stream: int) -> list[RxResult]:
+        """Run the full engine on an already-device-resident (nrx, N) CF
+        stream (the block-processing path of :meth:`process`)."""
+        meta_d, bits_d = self._front_dispatch(dev, n_stream)
+        return self._finish(dev, n_stream, meta_d, bits_d)
+
+    def _finish(self, dev, n_stream: int, meta_d, bits_d) -> list[RxResult]:
         got = jax.device_get((meta_d, bits_d))
         meta, sig_bits = got
         keep = meta[:, 5] > 0.5

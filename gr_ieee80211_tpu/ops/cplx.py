@@ -114,6 +114,31 @@ def from_host_bf16(x: np.ndarray) -> CF:
               jnp.asarray(x.imag.astype(ml_dtypes.bfloat16)))
 
 
+def from_host_i8(x: np.ndarray) -> CF:
+    """Host complex ndarray -> device CF staged as int8 (quarter of the
+    f32 upload bytes; ~48 dB SQNR at full scale — an 8-bit ADC front
+    end, the dynamic range real 802.11 radios digitize with anyway).
+
+    Host-side: one shared scale per call (block-level AGC) quantizes
+    re/im to [-127, 127].  Device-side: one multiply dequantizes to f32
+    before the chain.  Raw-IQ ingest on the tunneled relay is transport-
+    bound (~15-24 MB/s), so halving bf16's bytes again doubles the
+    lossless streaming ceiling (tools_tpu/bench_daemon.py)."""
+    x = np.asarray(x)
+    m = float(max(np.abs(x.real).max(initial=0.0),
+                  np.abs(x.imag).max(initial=0.0), 1e-9))
+    s = 127.0 / m
+    re8 = jnp.asarray(np.clip(np.rint(x.real * s), -127, 127
+                              ).astype(np.int8))
+    im8 = jnp.asarray(np.clip(np.rint(x.imag * s), -127, 127
+                              ).astype(np.int8))
+    # scale as a device array, NOT a python scalar: eager ops cache by
+    # shape, but a fresh scalar constant would re-trace (and re-compile
+    # through the slow relay) on every distinct block gain
+    inv = jnp.asarray(np.float32(m / 127.0))
+    return CF(re8.astype(jnp.float32) * inv, im8.astype(jnp.float32) * inv)
+
+
 def to_host(cf: CF) -> np.ndarray:
     return np.asarray(cf.re) + 1j * np.asarray(cf.im)
 

@@ -57,6 +57,9 @@ class RxStreamer(threading.Thread):
         self.on_result = on_result
         self.poll_s = poll_s
         self.n_blocks = 0
+        #: blocks consumed from the ring (>= n_blocks by the one in-flight
+        #: pipelined block; the drain rule must count it)
+        self.n_begun = 0
         self.n_packets = 0
         self.n_ok = 0
         #: per-(fmt, mcs) [ok, total, snr_sum, rssi_sum] counters — the
@@ -90,7 +93,11 @@ class RxStreamer(threading.Thread):
             # ownership rule to a block that never runs).
             deadline = time.time() + timeout
             remaining = max(r.fill for r in self.rings)
-            target = self.n_blocks + -(-remaining // self.block_len)
+            # count from blocks BEGUN: a pipelined in-flight block has
+            # already consumed its samples from the ring, so deriving the
+            # target from n_blocks alone would stop one block early and
+            # strand its halo-deferred packets
+            target = self.n_begun + -(-remaining // self.block_len)
             while time.time() < deadline and self.n_blocks < target:
                 for r in self.rings:
                     need = self.block_len + self.halo + 16 - r.fill
@@ -104,14 +111,29 @@ class RxStreamer(threading.Thread):
     #: fix as parallel.mesh.rx_chain_sp's LH halo); must exceed the STF span
     LCTX = 256
 
-    def _process_block(self, block: np.ndarray, t0: int):
-        """block: (nrx, block_len + halo)."""
+    def _begin_block(self, block: np.ndarray, t0: int):
+        """block: (nrx, block_len + halo).  Dispatches the upload + front
+        end asynchronously (engine.begin_process) and returns a pending-
+        block token for :meth:`_finish_block` — the double-buffering that
+        overlaps block k+1's host->device transport with block k's
+        decode (the transport is the measured streaming bottleneck:
+        ~15-24 MB/s on the tunneled relay vs 20.9 Msps resident
+        compute)."""
         view = np.concatenate([self._lctx, block], axis=1)
         first = not self._saw_block
         self._saw_block = True
         self._lctx = block[:, self.block_len - self.LCTX: self.block_len]
-        res = self.engine.process(view)
         lo = 0 if first else self.LCTX   # block 0 owns its zero left pad too
+        if hasattr(self.engine, "begin_process"):
+            return (self.engine.begin_process(view), None, lo, t0)
+        return (None, view, lo, t0)      # gold engines: no async path
+
+    def _finish_block(self, pending):
+        handle, view, lo, t0 = pending
+        if handle is not None:
+            res = self.engine.finish_process(handle)
+        else:
+            res = self.engine.process(view)
         for r in res:
             # ownership by the TRIGGER index: packets triggering in the left
             # context belong to the previous block, packets triggering in
@@ -141,10 +163,17 @@ class RxStreamer(threading.Thread):
         self._lctx = np.zeros((self.nrx, self.LCTX), np.complex64)
         self._saw_block = False
         need = self.block_len + self.halo
+        pending = None                  # one in-flight block (depth-2 pipe)
         try:
             while not self._stop_evt.is_set():
                 # lockstep: consume only when EVERY antenna ring has a block
                 if any(r.fill < need for r in self.rings):
+                    if pending is not None:
+                        # idle: drain the in-flight block so results (and
+                        # n_blocks, which stop(drain=True) watches) land
+                        self._finish_block(pending)
+                        pending = None
+                        self.n_blocks += 1
                     time.sleep(self.poll_s)
                     continue
                 rows = [r.read_block(self.block_len, self.halo)
@@ -152,8 +181,18 @@ class RxStreamer(threading.Thread):
                 # fills were checked and we are the sole consumer, so a None
                 # here means the antennas desynced — that must be fatal
                 assert all(b is not None for b in rows), "ring desync"
-                self._process_block(np.stack(rows), t0)
+                # dispatch block k's upload/front BEFORE finishing block
+                # k-1: the transport of k rides the relay while k-1's
+                # bucket decodes and readbacks run
+                nxt = self._begin_block(np.stack(rows), t0)
+                self.n_begun += 1
                 t0 += self.block_len
+                if pending is not None:
+                    self._finish_block(pending)
+                    self.n_blocks += 1
+                pending = nxt
+            if pending is not None:
+                self._finish_block(pending)
                 self.n_blocks += 1
         except Exception as e:          # surface thread death to the owner
             self.error = e

@@ -247,3 +247,17 @@ def test_rx_engine_multi_mpdu_ampdu_ht():
     res = [r for r in RxEngine(nrx=1).process(stream) if r.ok]
     assert len(res) == 2
     assert all(r.mpdus == mpdus for r in res)
+
+
+def test_rx_engine_i8_ingest_loopback():
+    """int8 block-AGC ingest (~41 dB SQNR, quarter transport bytes)
+    decodes the loopback stream like the f32 path."""
+    rng = np.random.default_rng(77)
+    mpdu, payload, cfg = _mk(rng, Fmt.VHT, 7, 1)
+    wave = gtx.tx_waveform(cfg, payload, group_id=0, partial_aid=0)
+    stream = channel.frame_stream(wave, 1.0, 500.0, num=4, gap=1100)
+    rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+    stream = channel.awgn(stream, rms / 10 ** (30 / 20), rng)
+    res = [r for r in RxEngine(nrx=1, ingest="i8").process(stream)
+           if r.ok and r.mpdus and r.mpdus[0] == mpdu]
+    assert len(res) == 4

@@ -75,13 +75,14 @@ def run_resident(cap, pkts_per_cap, block_len, n_blocks=10):
             "pkt_per_s": round(n_ok / dt, 1)}
 
 
-def run_rate(cap, pkts_per_cap, rate_msps, seconds, block_len, halo):
+def run_rate(cap, pkts_per_cap, rate_msps, seconds, block_len, halo,
+             ingest="i8"):
     from gr_ieee80211_tpu.runtime import native as NAT
     from gr_ieee80211_tpu.runtime.streaming import RxStreamer
     from gr_ieee80211_tpu.models.rx import RxEngine
 
     ring = NAT.IqRing(1 << 24)
-    streamer = RxStreamer(ring, RxEngine(nrx=1, ingest_bf16=True),
+    streamer = RxStreamer(ring, RxEngine(nrx=1, ingest=ingest),
                           block_len=block_len, halo=halo, poll_s=0.002)
     streamer.start()
     rate = rate_msps * 1e6
@@ -163,13 +164,18 @@ def main():
             "block_len": args.block, "halo": args.halo,
             "capture_pkts": pkts, "payload": 500, "mcs": "VHT7",
             "resident_block_processing": resident,
-            "host_to_device_transport_mbps_measured": 15,
+            "host_to_device_transport_mbps_measured": 40,
+            "ingest": "i8 (2 B/sample block-AGC quantization, ~41 dB "
+                      "SQNR) + RxStreamer double-buffering (upload of "
+                      "block k+1 overlaps block k's decode)",
             "max_lossless": best, "runs": runs,
             "reference_realtime_msps": 20,
             "note": "end-to-end lossless rate is bound by the tunneled "
-                    "relay's ~15 MB/s host->device transport (bf16 ingest "
-                    "= 4 B/sample), not by the engine: see "
-                    "resident_block_processing for the device rate"}
+                    "relay, which serializes uploads with execution "
+                    "(pipelined cycles == serial, measured round 5), so "
+                    "upload+compute+readback sum per block; see "
+                    "resident_block_processing for the transport-free "
+                    "device rate"}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(blob, f, indent=1)
