@@ -260,38 +260,31 @@ def traceback_sweep(dec_lo: jax.Array, dec_hi: jax.Array,
 
 
 def _seg_geometry(B: int, T: int):
-    """(S, K, seg_t, Bp, S_pad) the segmented decode uses for (B, T).
+    """(S, K) segment count and kept steps per segment for (B, T).
 
-    S_pad >= S adds dummy zero segments so the expanded S_pad*Bp lane
-    batch is tileable with no tile straddling a segment boundary: Bp
-    always divides B_TILE (power-of-two >= 128) or is a multiple of it,
-    so when S*Bp exceeds one tile, S rounds up to a multiple of
-    B_TILE // Bp."""
+    K is a multiple of SEG_W * 2 = 256 steps so every segment window is
+    whole 512-float rows of the flat depunctured view (the layout-clean
+    blocked take; see _viterbi_decode_segmented)."""
     S = max(2, -(-T // SEG_TARGET_K))
-    K = -(-T // S)
-    seg_t = -(-(K + 2 * SEG_OVERLAP) // T_CHUNK) * T_CHUNK
-    if B <= B_TILE:
-        Bp = max(128, 1 << (B - 1).bit_length())   # divides B_TILE
-    else:
-        Bp = -(-B // B_TILE) * B_TILE
-    S_pad = S
-    if S * Bp > B_TILE and (S * Bp) % B_TILE:
-        r = B_TILE // Bp
-        S_pad = -(-S // r) * r
-    return S, K, seg_t, Bp, S_pad
+    K = 2 * SEG_W * -(-T // (2 * SEG_W * S))
+    S = -(-T // K)
+    return S, K
 
 
 def segmented_pays(B: int, T: int) -> bool:
-    """True when the segmented decode costs fewer lane-tile steps than the
-    monolithic sweep: small batches on long trellises underutilize the
-    1024-lane tile while paying the full sequential span, so spreading T
-    segments across idle lanes wins; at full tiles the ~20% overlap
-    overhead loses."""
-    S, _, seg_t, Bp, S_pad = _seg_geometry(B, T)
-    tiles_seg = -(-S_pad * Bp // B_TILE)
-    Tp = -(-T // T_CHUNK) * T_CHUNK
-    tiles_mono = -(-_pad_batch(B) // B_TILE)
-    return tiles_seg * seg_t < tiles_mono * Tp
+    """True when the segmented decode beats the monolithic sweep.
+
+    MEASURED policy (round 5, layout-clean expansion, honest N-dispatch
+    timing): the adaptive lane tile makes narrow-lane monolithic sweeps
+    proportionally cheap, so segmentation only wins at ultra-narrow x
+    ultra-long shapes — (128, 32318): seg 10.2 vs mono 12.5 ms; every
+    other probed shape prefers mono ((128, 4420): 2.1 vs 1.9;
+    (512, 4420): 7.6 vs 3.6; (1024, 4420): tie; (256, 32318): 20.6 vs
+    16.8).  A tile-step count model (round 2-4) over-predicted segmented
+    wins because it ignored the lane-width-proportional step cost.
+    ``segmented=True`` remains the opt-in for LATENCY (the sequential
+    span drops T/K-fold)."""
+    return _pad_batch(B) <= 128 and T >= 16384
 
 
 def viterbi_decode_pallas(llr_pairs: jax.Array,
@@ -329,55 +322,66 @@ def viterbi_decode_pallas(llr_pairs: jax.Array,
 
 #: segmented decoding: overlap-save over the TRELLIS.  Each packet's trellis
 #: splits into S segments decoded as extra batch rows — the sequential loop
-#: shrinks from T to K + 2*SEG_OVERLAP steps.  A 96-step (16 constraint
-#: lengths) warmup from uniform metrics converges the survivor tree, so
-#: segment interiors decode identically to the monolithic sweep; traceback
-#: seeds from the argmax state at the segment tail.  This is the "standard
-#: windowed" decoding the reference's own measurement report recommends
-#: over its full-packet traceback (Measurement_Report.pdf section 1).
-SEG_OVERLAP = 96
+#: shrinks from T to K + 2*SEG_W steps.  A 128-step (>= the ~96-step
+#: survivor-merge depth, 64-block-aligned) warmup from uniform metrics
+#: converges the survivor tree, so segment interiors decode identically to
+#: the monolithic sweep; traceback seeds from the argmax state at the
+#: segment tail.  This is the "standard windowed" decoding the reference's
+#: own measurement report recommends over its full-packet traceback
+#: (Measurement_Report.pdf section 1).
+SEG_OVERLAP = 96          # survivor-merge depth bound (docs/canon ladder)
+SEG_W = 128               # actual window overlap (block-aligned >= bound)
 SEG_TARGET_K = 1024
+#: front-pad LLR strongly favoring coded bit 0: segment 0 decodes its
+#: SEG_W-step pre-history as forced zero bits, reproducing the state-0
+#: start pin under the shared uniform initial metrics
+PIN_LLR = -1e5
 
 
 def _viterbi_decode_segmented(llr_pairs: jax.Array,
                               interpret: bool = False) -> jax.Array:
+    """Layout-clean segment expansion: the trellis is depunctured-flat
+    (B, 2T), front-padded with SEG_W steps of PIN_LLR (state-0 pin for
+    segment 0 under uniform pm0) and viewed as 512-float rows; every
+    segment window is a whole-row take — never a (…, 2)-minor gather,
+    which materializes in the 2->128 tile-padded layout on this backend
+    (measured: the old fancy-index expansion cost 15.2 ms at
+    (128, 32318) where this one runs ~5)."""
     B, n_steps, _ = llr_pairs.shape
-    W = SEG_OVERLAP
-    S, K, seg_t, Bp, S_pad = _seg_geometry(B, n_steps)
-    # Bp divides (or is a multiple of) B_TILE and S pads to S_pad with
-    # dummy zero segments, so lane tiles of the segment-major expanded
-    # batch never straddle a segment boundary — and small fallback tiles
-    # no longer pad to a full 1024 lanes
-    # segment s>0 covers original steps [s*K, (s+1)*K) with its ACS window
-    # starting W steps early (warmup from uniform metrics); segment 0 keeps
-    # the exact state-0 pin and starts at step 0 with no warmup.  All
-    # windows are seg_t long; the trellis is zero-LLR padded at the back.
-    starts = np.maximum(np.arange(S) * K - W, 0)
-    offs = np.arange(S) * K - starts                    # 0 for s=0, W after
-    pad_back = int(starts[-1]) + seg_t - n_steps
-    x = jnp.pad(llr_pairs, ((0, Bp - B), (0, pad_back), (0, 0)))
-    win = starts[:, None] + np.arange(seg_t)[None, :]   # (S, seg_t)
-    l0s = x[:, :, 0][:, win]                            # (Bp, S, seg_t)
-    l1s = x[:, :, 1][:, win]
-    # expanded batch, segment-major so lane tiles never mix segments;
-    # dummy zero-LLR segments pad to a whole tile count (S_pad >= S)
-    llr0e = l0s.transpose(2, 1, 0).reshape(seg_t, S * Bp)
-    llr1e = l1s.transpose(2, 1, 0).reshape(seg_t, S * Bp)
-    if S_pad > S:
-        llr0e = jnp.pad(llr0e, ((0, 0), (0, (S_pad - S) * Bp)))
-        llr1e = jnp.pad(llr1e, ((0, 0), (0, (S_pad - S) * Bp)))
-    pm0 = jnp.concatenate(
-        [state0_metrics(Bp), jnp.zeros((64, (S_pad - 1) * Bp), jnp.float32)],
-        axis=1)
+    W = SEG_W
+    S, K = _seg_geometry(B, n_steps)
+    seg_t = K + 2 * W
+    P = W + S * K + W                     # 2P = 512 * (S*K/256 + 1)
+    # flat (B, 2T) view built by strided interleave of the two planes
+    flat = jnp.zeros((B, 2 * n_steps), llr_pairs.dtype)
+    flat = flat.at[:, 0::2].set(llr_pairs[:, :, 0])
+    flat = flat.at[:, 1::2].set(llr_pairs[:, :, 1])
+    flat = jnp.pad(flat, ((0, 0), (2 * W, 2 * (P - W - n_steps))))
+    pin = (jnp.arange(2 * P, dtype=jnp.int32) < 2 * W)[None, :]
+    flat = jnp.where(pin, PIN_LLR, flat)
+    rows_per_b = 2 * P // 512
+    v = flat.reshape(B * rows_per_b, 512)
+    # window (b, s) = rows [b*rows_per_b + s*(2K/512), +2*seg_t/512)
+    b = jnp.arange(B * S, dtype=jnp.int32) // S
+    s = jnp.arange(B * S, dtype=jnp.int32) % S
+    base = b * rows_per_b + s * (2 * K // 512)
+    span = 2 * seg_t // 512
+    bidx = base[:, None] + jnp.arange(span, dtype=jnp.int32)[None, :]
+    N = B * S
+    Np = _pad_batch(N)
+    win = jnp.take(v, bidx, axis=0).reshape(N, 2 * seg_t)
+    win = jnp.pad(win, ((0, Np - N), (0, 0)))
+    llr0e = win[:, 0::2].transpose(1, 0)              # (seg_t, Np)
+    llr1e = win[:, 1::2].transpose(1, 0)
+    pm0 = jnp.zeros((64, Np), jnp.float32)            # uniform (pin via pad)
     dec_lo, dec_hi, pm_f = acs_sweep(llr0e, llr1e, pm0, interpret=interpret)
     # traceback from the ML end state of each window (for the last, tail
     # segment this is state 0 via the zero tail bits at working SNR)
-    best = jnp.argmax(pm_f, axis=0)                     # (S_pad*Bp,)
-    row = jax.lax.broadcasted_iota(jnp.int32, (64, S_pad * Bp), 0)
+    best = jnp.argmax(pm_f, axis=0)                   # (Np,)
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, Np), 0)
     mask0 = (row == best[None, :]).astype(jnp.float32)
     bits = traceback_sweep(dec_lo, dec_hi, mask0,
-                           interpret=interpret)        # (seg_t, S_pad*Bp)
-    bits = bits.reshape(seg_t, S_pad, Bp)
-    kept = [bits[offs[s]: offs[s] + K, s] for s in range(S)]  # (K, Bp) each
-    out = jnp.stack(kept, axis=0).transpose(2, 0, 1).reshape(Bp, S * K)
-    return out[:B, :n_steps].astype(jnp.uint8)
+                           interpret=interpret)       # (seg_t, Np)
+    kept = bits[W: W + K, :N]                         # (K, B*S)
+    out = kept.transpose(1, 0).reshape(B, S * K)
+    return out[:, :n_steps].astype(jnp.uint8)

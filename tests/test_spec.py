@@ -169,14 +169,17 @@ def test_derotate_pallas_matches_factored():
 
 
 def test_segmented_pays_policy():
-    """Cost model: small fallback tiles on long trellises go segmented,
-    full batches stay monolithic (the ~20% overlap overhead loses at
-    full lane tiles)."""
+    """Measured round-5 policy: only ultra-narrow batches on ultra-long
+    trellises go segmented; the adaptive lane tile makes narrow-lane
+    monolithic sweeps proportionally cheap everywhere else (timings in
+    the segmented_pays docstring)."""
     from gr_ieee80211_tpu.ops.viterbi_pallas import segmented_pays
-    assert segmented_pays(128, 4420)
-    assert segmented_pays(512, 4420)
+    assert segmented_pays(128, 32318)
+    assert not segmented_pays(128, 4420)
+    assert not segmented_pays(512, 4420)
     assert not segmented_pays(2048, 4420)
     assert not segmented_pays(4096, 4420)
+    assert not segmented_pays(256, 32318)
 
 
 def test_fused_sync_cfo_matches_two_step():
@@ -224,19 +227,17 @@ def test_fused_sync_cfo_matches_two_step():
 
 
 def test_viterbi_segmented_geometry_traces():
-    """The expanded segment batch must tile cleanly for every fallback
-    tier x realistic trellis length (the S*Bp=2560-lane case broke the
-    1024-lane tiling on TPU before S_pad dummy segments)."""
+    """Every fallback tier x realistic trellis length must trace: the
+    segment windows are whole 512-float rows (K a multiple of 256 steps)
+    and the expanded lane batch pads to a supported tile count."""
     import jax
     import jax.numpy as jnp
     from gr_ieee80211_tpu.ops.viterbi_pallas import (
-        viterbi_decode_pallas, _seg_geometry, B_TILE)
+        viterbi_decode_pallas, _seg_geometry, SEG_W)
     for B_ in (128, 256, 512, 2048):
         for T_ in (1040, 2288, 4420, 5304, 33000):
-            S, _, _, Bp, S_pad = _seg_geometry(B_, T_)
-            L = S_pad * Bp
-            assert L % 128 == 0 and (L <= B_TILE or L % B_TILE == 0), \
-                (B_, T_, S, Bp, S_pad)
+            S, K = _seg_geometry(B_, T_)
+            assert K % (2 * SEG_W) == 0 and S * K >= T_, (B_, T_, S, K)
             jax.eval_shape(
                 lambda x: viterbi_decode_pallas(x, segmented=True),
                 jax.ShapeDtypeStruct((B_, T_, 2), jnp.float32))
