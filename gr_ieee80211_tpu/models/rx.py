@@ -567,6 +567,52 @@ def _front_core(stream: CF, max_pkts: int):
     return meta, bits
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "nrx", "max_pkts"))
+def _spec_core(cfg: PhyConfig, stream: CF, max_pkts: int, nrx: int = 1):
+    """Speculative ONE-CROSSING chain: front end + payload decode for a
+    PRESUMED config, fused into a single program with a single readback.
+
+    The steady-state daemon case is homogeneous traffic: every block
+    decodes the same (fmt, mcs, len) as the last.  This program decodes
+    ALL detected packets under the speculated canonical config and also
+    returns the SIG bits; the host then verifies each row's actual
+    classification against the speculation and re-decodes only
+    mismatching rows through the general bucket path.  Collapses the
+    general path's 2-3 relay crossings (~26 ms each) to ONE for
+    cache-hit traffic (VERDICT round-4 ask #4; the reference's
+    block-latency study is Measurement_Report §2).
+
+    Returns (meta (max_pkts, 7) [trig, ltf_idx, peak, cfo, rssi, valid,
+    fits], bits (max_pkts, 120) uint8, psdu (max_pkts, psdu_len) uint8,
+    sssnr0 (max_pkts,) or zeros)."""
+    m4 = FE.stf_metric_strided(stream[0])
+    cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts)
+    trigs = FE.dedup_triggers_device(cand, max_pkts,
+                                     spacing=TRIG_DEDUP_SPACING)
+    n = stream.shape[-1]
+    ltf_idx, peak, cfo, rssi = _sync_core(stream[0], jnp.maximum(trigs, 0))
+    valid = (trigs >= 0) & (peak > 0.5) & (ltf_idx + 600 < n)
+    li_c = jnp.clip(ltf_idx, 0, max(n - 600, 0))
+    lsig, ht, vht = _sig_core(stream[0], li_c, cfo)
+    n_need = _data_start(cfg) + 80 * cfg.nsym + 16
+    fits = ltf_idx + n_need < n
+    li2 = jnp.clip(ltf_idx, 0, max(n - n_need - 1, 0))
+    want_sssnr = cfg.fmt == Fmt.VHT and cfg.nss == 1
+    out = _payload_core(cfg, stream[:nrx], li2, cfo, nrx=nrx,
+                        want_sssnr=want_sssnr)
+    meta = jnp.concatenate(
+        [trigs.astype(jnp.float32)[:, None],
+         ltf_idx.astype(jnp.float32)[:, None],
+         peak[:, None], cfo[:, None], rssi[:, None],
+         valid.astype(jnp.float32)[:, None],
+         fits.astype(jnp.float32)[:, None]], axis=1)
+    bits = jnp.concatenate(
+        [lsig.astype(jnp.uint8), ht.astype(jnp.uint8),
+         vht.astype(jnp.uint8)], axis=1)
+    sssnr = out.get("sssnr0", jnp.zeros(meta.shape[0], jnp.float32))
+    return meta, bits, out["psdu"], sssnr
+
+
 @functools.partial(jax.jit, static_argnames=("nsts", "nrx"))
 def _ndp_chan_core(stream: CF, ltf_idx: jax.Array, cfo: jax.Array,
                    nsts: int, nrx: int):
@@ -589,7 +635,7 @@ class RxEngine:
 
     def __init__(self, nrx: int = 1, mu_pos: int | None = None,
                  mu_gid: int | None = None, ingest_bf16: bool = False,
-                 ingest: str | None = None):
+                 ingest: str | None = None, speculate: bool = True):
         self.nrx = nrx
         self.mu_pos = mu_pos          # MU-MIMO STA position (demod mupos)
         self.mu_gid = mu_gid          # group id filter (demod mugid), opt.
@@ -598,6 +644,13 @@ class RxEngine:
         #: the 8-bit-ADC ingest for the transport-bound streaming path)
         self.ingest = ingest or ("bf16" if ingest_bf16 else "f32")
         self.ingest_bf16 = self.ingest == "bf16"
+        #: one-crossing speculation: when the previous block's data
+        #: traffic was homogeneous, the next block dispatches the fused
+        #: front+decode program for that config (_spec_core) and the
+        #: host verifies per row — steady-state daemon blocks cost ONE
+        #: relay readback instead of 2-3
+        self.speculate = speculate
+        self._spec_canon: PhyConfig | None = None
         #: SIG-bits -> classification cache (pure parse; see process_device)
         self._cls_cache: dict = {}
 
@@ -634,13 +687,26 @@ class RxEngine:
         stream = np.atleast_2d(stream)
         dev = self._upload(stream)
         n_stream = stream.shape[1]
+        spec = self._spec_canon if self.speculate else None
+        if spec is not None:
+            min_sp = (TRIG_DEDUP_SPACING // 16) * 16
+            cap = max(16, min(4096, n_stream // min_sp + 1))
+            max_pkts = 1 << (cap - 1).bit_length()
+            outs = _spec_core(spec, dev, max_pkts, nrx=self.nrx)
+            return (dev, n_stream, ("spec", spec) + outs)
         meta_d, bits_d = self._front_dispatch(dev, n_stream)
-        return (dev, n_stream, meta_d, bits_d)
+        return (dev, n_stream, ("front", meta_d, bits_d))
 
     def finish_process(self, handle) -> list[RxResult]:
         """Block on a :meth:`begin_process` handle's front-end readback and
         run classification + bucket decodes to completion."""
-        return self._finish(*handle)
+        dev, n_stream, rest = handle
+        if rest[0] == "spec":
+            _, spec, meta_d, bits_d, psdu_d, sssnr_d = rest
+            got = jax.device_get((meta_d, bits_d, psdu_d, sssnr_d))
+            return self._finish(dev, n_stream, got[0], got[1],
+                                spec=(spec, got[2], got[3]))
+        return self._finish(dev, n_stream, rest[1], rest[2])
 
     def _front_dispatch(self, dev, n_stream: int):
         # ONE fused dispatch + ONE readback for the whole front end
@@ -662,12 +728,16 @@ class RxEngine:
         meta_d, bits_d = self._front_dispatch(dev, n_stream)
         return self._finish(dev, n_stream, meta_d, bits_d)
 
-    def _finish(self, dev, n_stream: int, meta_d, bits_d) -> list[RxResult]:
+    def _finish(self, dev, n_stream: int, meta_d, bits_d,
+                spec=None) -> list[RxResult]:
         got = jax.device_get((meta_d, bits_d))
         meta, sig_bits = got
         keep = meta[:, 5] > 0.5
+        orig = np.flatnonzero(keep)       # row index into the spec outputs
+        fits = meta[keep, 6] > 0.5 if spec is not None else None
         meta, sig_bits = meta[keep], sig_bits[keep]
         if meta.shape[0] == 0:
+            self._spec_canon = None
             return []
         trigs = meta[:, 0].astype(np.int64)
         ltf_idx = meta[:, 1].astype(np.int64)
@@ -688,6 +758,9 @@ class RxEngine:
         # daemon's host time at ~1600 pkts/block (results/PROFILE.md)
         buckets: dict[PhyConfig, list[int]] = {}
         meta: list[tuple] = []
+        results: list[RxResult] = [None] * len(ltf_idx)
+        seen_canons: set = set()
+        spec_canon, spec_psdu, spec_sssnr = spec if spec else (None,) * 3
         for i in range(len(ltf_idx)):
             key = sig_bits[i].tobytes()
             ent = self._cls_cache.get(key)
@@ -719,10 +792,21 @@ class RxEngine:
                     > n_stream:
                 meta.append(None)
                 continue
+            seen_canons.add(canon)
+            if (spec_canon is not None and canon == spec_canon
+                    and cfg.n_trellis == canon.n_trellis and fits[i]):
+                # speculation hit: the fused program already decoded this
+                # row — no further device work or readback for it
+                pb = spec_psdu[orig[i]][: cfg.psdu_len].tobytes()
+                ss = (float(spec_sssnr[orig[i]])
+                      if canon.fmt == Fmt.VHT and canon.nss == 1 else None)
+                results[i] = self._mk_data_result(
+                    cfg, pb, int(ltf_idx[i]), float(cfo[i]), int(trigs[i]),
+                    float(snr_db[i]), float(rssi[i]), ss)
+                meta.append(("data", cfg))
+                continue
             buckets.setdefault(canon, []).append((i, cfg))
             meta.append(("data", cfg))
-
-        results: list[RxResult] = [None] * len(ltf_idx)
         for canon, all_items in buckets.items():
             # cap the bucket batch so the Viterbi decision planes
             # (n_trellis x 64 x B int8 x 2) stay within ~2 GB of HBM
@@ -753,7 +837,34 @@ class RxEngine:
                 results[i] = r
         self._process_mu(dev, ltf_idx, cfo, trigs, meta, results,
                          n_stream, snr_db, rssi)
+        # next-block speculation: homogeneous SU data traffic only
+        self._spec_canon = (next(iter(seen_canons))
+                            if len(seen_canons) == 1 else None)
         return [r for r in results if r is not None]
+
+    def _mk_data_result(self, cfg: PhyConfig, pb: bytes, ltf_idx: int,
+                        cfo: float, trig: int, snr_db: float, rssi: float,
+                        sssnr) -> RxResult:
+        """Shared per-packet assembly: MPDU walk + FCS by format."""
+        r = RxResult(False, cfg.fmt, cfg.mcs, cfg.nss, ltf_idx, cfo,
+                     trig=trig, snr_db=snr_db, rssi=rssi)
+        if sssnr is not None:
+            r.sssnr0 = sssnr
+        r.psdu = pb
+        if cfg.fmt == Fmt.VHT:
+            # native C++ delimiter walk + FCS (runtime/native.py falls
+            # back to the python gold walk when the .so is absent)
+            from ..runtime.native import deagg_vht
+            r.mpdus = deagg_vht(pb)
+            r.ok = len(r.mpdus) > 0
+        elif cfg.fmt == Fmt.HT and cfg.ampdu:
+            r.mpdus = MAC.ampdu_deaggregate(pb, ht=True)
+            r.ok = len(r.mpdus) > 0
+        else:
+            from ..gold.bits import fcs_ok
+            r.ok = fcs_ok(pb)
+            r.mpdus = [pb] if r.ok else []
+        return r
 
     def _decode_bucket(self, dev, canon: PhyConfig, items, ltf_idx, cfo,
                        trigs, results, snr_db, rssi):
@@ -778,30 +889,11 @@ class RxEngine:
         psdu = got["psdu"]
         sssnr = got.get("sssnr0")
         for j, (i, cfg) in enumerate(items):
-            r = RxResult(False, cfg.fmt, cfg.mcs, cfg.nss,
-                         int(ltf_idx[i]), float(cfo[i]),
-                         trig=int(trigs[i]), snr_db=float(snr_db[i]),
-                         rssi=float(rssi[i]))
-            if sssnr is not None:
-                r.sssnr0 = float(sssnr[j])
             pb = psdu[j][: cfg.psdu_len].tobytes()
-            r.psdu = pb
-            if cfg.fmt == Fmt.VHT:
-                # native C++ delimiter walk + FCS (runtime/native.py falls
-                # back to the python gold walk when the .so is absent):
-                # the per-packet python walk dominated the resident
-                # block-processing profile at ~1600 pkts/block
-                from ..runtime.native import deagg_vht
-                r.mpdus = deagg_vht(pb)
-                r.ok = len(r.mpdus) > 0
-            elif cfg.fmt == Fmt.HT and cfg.ampdu:
-                r.mpdus = MAC.ampdu_deaggregate(pb, ht=True)
-                r.ok = len(r.mpdus) > 0
-            else:
-                from ..gold.bits import fcs_ok
-                r.ok = fcs_ok(pb)
-                r.mpdus = [pb] if r.ok else []
-            results[i] = r
+            ss = float(sssnr[j]) if sssnr is not None else None
+            results[i] = self._mk_data_result(
+                cfg, pb, int(ltf_idx[i]), float(cfo[i]), int(trigs[i]),
+                float(snr_db[i]), float(rssi[i]), ss)
 
     def _process_mu(self, dev, ltf_idx, cfo, trigs, meta, results, n_stream,
                     snr_db, rssi):

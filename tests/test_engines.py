@@ -261,3 +261,29 @@ def test_rx_engine_i8_ingest_loopback():
     res = [r for r in RxEngine(nrx=1, ingest="i8").process(stream)
            if r.ok and r.mpdus and r.mpdus[0] == mpdu]
     assert len(res) == 4
+
+
+def test_rx_engine_speculative_one_crossing():
+    """Homogeneous traffic arms the one-crossing speculation; the next
+    block decodes through the fused _spec_core program with identical
+    results, and a config change falls back to the bucket path."""
+    rng = np.random.default_rng(91)
+    mpdu7, pay7, cfg7 = _mk(rng, Fmt.VHT, 7, 1)
+    mpdu4, pay4, cfg4 = _mk(rng, Fmt.VHT, 4, 1, n=90)
+    def blk(pay, cfg):
+        wave = gtx.tx_waveform(cfg, pay, group_id=0, partial_aid=0)
+        s = channel.frame_stream(wave, 1.0, 450.0, num=3, gap=1100)
+        rms = np.sqrt(np.mean(np.abs(wave) ** 2))
+        return channel.awgn(s, rms / 10 ** (30 / 20), rng)
+    eng = RxEngine(nrx=1)
+    assert eng._spec_canon is None
+    r1 = eng.finish_process(eng.begin_process(blk(pay7, cfg7)))
+    assert eng._spec_canon is not None            # armed
+    spec = eng._spec_canon
+    r2 = eng.finish_process(eng.begin_process(blk(pay7, cfg7)))   # spec hit
+    assert eng._spec_canon == spec
+    # config change: speculation misses, bucket path decodes anyway
+    r3 = eng.finish_process(eng.begin_process(blk(pay4, cfg4)))
+    for res, m in ((r1, mpdu7), (r2, mpdu7), (r3, mpdu4)):
+        good = [r for r in res if r.ok and r.mpdus and r.mpdus[0] == m]
+        assert len(good) == 3
