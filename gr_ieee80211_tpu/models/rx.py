@@ -737,7 +737,8 @@ class RxEngine:
         fits = meta[keep, 6] > 0.5 if spec is not None else None
         meta, sig_bits = meta[keep], sig_bits[keep]
         if meta.shape[0] == 0:
-            self._spec_canon = None
+            # idle block: KEEP the speculation armed (steady-state radio
+            # traffic has silence gaps between bursts)
             return []
         trigs = meta[:, 0].astype(np.int64)
         ltf_idx = meta[:, 1].astype(np.int64)
@@ -837,9 +838,13 @@ class RxEngine:
                 results[i] = r
         self._process_mu(dev, ltf_idx, cfo, trigs, meta, results,
                          n_stream, snr_db, rssi)
-        # next-block speculation: homogeneous SU data traffic only
-        self._spec_canon = (next(iter(seen_canons))
-                            if len(seen_canons) == 1 else None)
+        # next-block speculation: homogeneous SU data traffic arms it,
+        # mixed data traffic disarms, data-free blocks (NDP/MU/idle)
+        # leave it as-is
+        if len(seen_canons) == 1:
+            self._spec_canon = next(iter(seen_canons))
+        elif len(seen_canons) > 1:
+            self._spec_canon = None
         return [r for r in results if r is not None]
 
     def _mk_data_result(self, cfg: PhyConfig, pb: bytes, ltf_idx: int,

@@ -139,6 +139,156 @@ def _make_acs_kernel(bt: int):
     return _acs_kernel
 
 
+def _make_acs_kernel_packed(bt: int):
+    """ACS variant storing FOUR steps' decisions per int8 (value 0..15):
+    the decision planes shrink 4x (HBM store AND traceback read traffic)
+    at the cost of 2 extra VPU ops per half per step (shift-accumulate
+    into an f32 carry) and a 4-step unrolled loop body."""
+    def _kernel(llr0_ref, llr1_ref, pm0_ref, dec_lo_ref, dec_hi_ref,
+                pm_out_ref, pm):
+        tc = pl.program_id(1)
+
+        @pl.when(tc == 0)
+        def _():
+            pm[:] = pm0_ref[:]
+
+        masks = _branch_masks_in_kernel()
+        (a00, a10) = masks[(0, 0)]
+
+        def quad(q, carry):
+            p = carry
+            acc_lo = jnp.zeros((32, bt), jnp.float32)
+            acc_hi = jnp.zeros((32, bt), jnp.float32)
+            for i in range(4):
+                t = q * 4 + i
+                l0 = llr0_ref[t, :][None, :]
+                l1 = llr1_ref[t, :][None, :]
+                pr = p.reshape(32, 2, bt)
+                ev = pr[:, 0, :]
+                od = pr[:, 1, :]
+                bm = a00 * l0 + a10 * l1
+                qq = (l0 + l1) - bm
+                cand_a_lo = ev + bm
+                cand_b_lo = od + qq
+                cand_a_hi = ev + qq
+                cand_b_hi = od + bm
+                w = float(1 << i)
+                acc_lo = acc_lo + w * (cand_b_lo > cand_a_lo
+                                       ).astype(jnp.float32)
+                acc_hi = acc_hi + w * (cand_b_hi > cand_a_hi
+                                       ).astype(jnp.float32)
+                new_lo = jnp.maximum(cand_a_lo, cand_b_lo)
+                new_hi = jnp.maximum(cand_a_hi, cand_b_hi)
+                p = jnp.concatenate([new_lo, new_hi], axis=0)
+            dec_lo_ref[q, :, :] = acc_lo.astype(jnp.int8)
+            dec_hi_ref[q, :, :] = acc_hi.astype(jnp.int8)
+            return p
+
+        p = jax.lax.fori_loop(0, T_CHUNK // 4, quad, pm[:])
+        pm[:] = p - jnp.max(p, axis=0, keepdims=True)
+        pm_out_ref[:] = pm[:]
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def acs_sweep_packed(llr0: jax.Array, llr1: jax.Array,
+                     pm0: jax.Array | None = None,
+                     interpret: bool = False):
+    """acs_sweep with 4-steps-per-int8 packed decision planes:
+    returns (dec_lo, dec_hi) of shape (T//4, 32, B) int8 (values 0..15,
+    bit i = step 4q+i's decision) and the final path metrics."""
+    n_steps, B = llr0.shape
+    bt = _lane_tile(B)
+    assert n_steps % T_CHUNK == 0 and B % bt == 0 and B % 128 == 0
+    if pm0 is None:
+        pm0 = state0_metrics(B)
+    grid = (B // bt, n_steps // T_CHUNK)
+    spec32 = pl.BlockSpec((T_CHUNK // 4, 32, bt), lambda b, t: (t, 0, b),
+                          memory_space=pltpu.VMEM)
+    spec_pm = pl.BlockSpec((64, bt), lambda b, t: (0, b),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_acs_kernel_packed(bt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T_CHUNK, bt), lambda b, t: (t, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_CHUNK, bt), lambda b, t: (t, b),
+                         memory_space=pltpu.VMEM),
+            spec_pm,
+        ],
+        out_specs=(spec32, spec32, spec_pm),
+        out_shape=(jax.ShapeDtypeStruct((n_steps // 4, 32, B), jnp.int8),
+                   jax.ShapeDtypeStruct((n_steps // 4, 32, B), jnp.int8),
+                   jax.ShapeDtypeStruct((64, B), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((64, bt), jnp.float32)],
+        interpret=interpret,
+    )(llr0, llr1, pm0)
+
+
+def _make_traceback_kernel_packed(bt: int, n_tc: int):
+    def _kernel(dec_lo_ref, dec_hi_ref, mask0_ref, bits_ref, mask):
+        tc = pl.program_id(1)
+
+        @pl.when(tc == 0)
+        def _():
+            mask[:] = mask0_ref[:]
+
+        def quad(qi, m):
+            q = T_CHUNK // 4 - 1 - qi
+            plo = dec_lo_ref[q, :, :].astype(jnp.float32)   # 0..15
+            phi = dec_hi_ref[q, :, :].astype(jnp.float32)
+            for i in (3, 2, 1, 0):                          # peel MSB first
+                w = float(1 << i)
+                d_lo = jnp.floor(plo / w)
+                d_hi = jnp.floor(phi / w)
+                plo = plo - d_lo * w
+                phi = phi - d_hi * w
+                t = q * 4 + i
+                m_lo, m_hi = m[:32], m[32:]
+                bits_ref[t, :] = jnp.sum(m_hi, axis=0).astype(jnp.float32)
+                f0 = m_lo * (1.0 - d_lo) + m_hi * (1.0 - d_hi)
+                f1 = m_lo * d_lo + m_hi * d_hi
+                m = jnp.stack([f0, f1], axis=1).reshape(64, bt)
+            return m
+
+        mask[:] = jax.lax.fori_loop(0, T_CHUNK // 4, quad, mask[:])
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def traceback_sweep_packed(dec_lo: jax.Array, dec_hi: jax.Array,
+                           mask0: jax.Array | None = None,
+                           interpret: bool = False):
+    """traceback_sweep over 4-steps-per-int8 packed planes."""
+    n_q, _, B = dec_lo.shape
+    n_steps = n_q * 4
+    bt = _lane_tile(B)
+    assert n_steps % T_CHUNK == 0 and B % bt == 0 and B % 128 == 0
+    if mask0 is None:
+        mask0 = state0_mask(B)
+    n_tc = n_steps // T_CHUNK
+    grid = (B // bt, n_tc)
+    spec32 = pl.BlockSpec((T_CHUNK // 4, 32, bt),
+                          lambda b, t: (n_tc - 1 - t, 0, b),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_traceback_kernel_packed(bt, n_tc),
+        grid=grid,
+        in_specs=[spec32, spec32,
+                  pl.BlockSpec((64, bt), lambda b, t: (0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T_CHUNK, bt),
+                               lambda b, t: (n_tc - 1 - t, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((64, bt), jnp.float32)],
+        interpret=interpret,
+    )(dec_lo, dec_hi, mask0)
+
+
 def state0_metrics(B: int) -> jnp.ndarray:
     """(64, B) initial path metrics pinned to state 0 (packet start)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)

@@ -311,3 +311,24 @@ def test_blocked_gather_matches_numpy():
         got16 = FE.gather_windows_bf16(cf, jnp.asarray(starts), n)
         err = np.abs(np.asarray(got16.re) - exp)
         assert err.max() < 0.02, (n, err.max())   # bf16 quantization only
+
+
+def test_viterbi_packed_planes_match_unpacked():
+    """4-steps-per-int8 packed decision planes reproduce the unpacked
+    ACS+traceback bit-for-bit (the round-5 store/read-traffic
+    experiment, ops/viterbi_pallas.acs_sweep_packed)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gr_ieee80211_tpu.ops.viterbi_pallas import (
+        acs_sweep, traceback_sweep, acs_sweep_packed,
+        traceback_sweep_packed)
+    rng = np.random.default_rng(11)
+    T_, B_ = 256, 128
+    l0 = jnp.asarray(rng.normal(size=(T_, B_)).astype(np.float32))
+    l1 = jnp.asarray(rng.normal(size=(T_, B_)).astype(np.float32))
+    dl, dh, pm = acs_sweep(l0, l1, interpret=True)
+    dlp, dhp, pmp = acs_sweep_packed(l0, l1, interpret=True)
+    assert np.allclose(np.asarray(pm), np.asarray(pmp))
+    bits = traceback_sweep(dl, dh, interpret=True)
+    bitsp = traceback_sweep_packed(dlp, dhp, interpret=True)
+    assert np.array_equal(np.asarray(bits), np.asarray(bitsp))
