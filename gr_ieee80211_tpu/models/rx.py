@@ -567,6 +567,12 @@ def _front_core(stream: CF, max_pkts: int):
     return meta, bits
 
 
+#: speculative-path psdu readback cap: compacted valid rows beyond this
+#: fall back to the bucket path (and dense blocks disarm speculation —
+#: the classic batched path already amortizes its crossings there)
+SPEC_ROWS = 512
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "nrx", "max_pkts"))
 def _spec_core(cfg: PhyConfig, stream: CF, max_pkts: int, nrx: int = 1):
     """Speculative ONE-CROSSING chain: front end + payload decode for a
@@ -583,8 +589,11 @@ def _spec_core(cfg: PhyConfig, stream: CF, max_pkts: int, nrx: int = 1):
     block-latency study is Measurement_Report §2).
 
     Returns (meta (max_pkts, 7) [trig, ltf_idx, peak, cfo, rssi, valid,
-    fits], bits (max_pkts, 120) uint8, psdu (max_pkts, psdu_len) uint8,
-    sssnr0 (max_pkts,) or zeros)."""
+    fits], bits (max_pkts, 120) uint8, psdu (SPEC_ROWS, psdu_len) uint8
+    COMPACTED to the first SPEC_ROWS valid rows in device order (the
+    readback must not scale with max_pkts: an 8192-row plane at 549 B
+    is ~4.5 MB of relay transfer; kept-row i < SPEC_ROWS maps to
+    compacted row i), sssnr0 (SPEC_ROWS,))."""
     m4 = FE.stf_metric_strided(stream[0])
     cand = FE.detect_plateaus_strided(m4, max_out=3 * max_pkts)
     trigs = FE.dedup_triggers_device(cand, max_pkts,
@@ -610,7 +619,11 @@ def _spec_core(cfg: PhyConfig, stream: CF, max_pkts: int, nrx: int = 1):
         [lsig.astype(jnp.uint8), ht.astype(jnp.uint8),
          vht.astype(jnp.uint8)], axis=1)
     sssnr = out.get("sssnr0", jnp.zeros(meta.shape[0], jnp.float32))
-    return meta, bits, out["psdu"], sssnr
+    k = min(SPEC_ROWS, max_pkts)
+    vsel = jnp.nonzero(valid, size=k, fill_value=max_pkts - 1)[0]
+    psdu_c = jnp.take(out["psdu"], vsel, axis=0)
+    sssnr_c = jnp.take(sssnr, vsel, axis=0)
+    return meta, bits, psdu_c, sssnr_c
 
 
 @functools.partial(jax.jit, static_argnames=("nsts", "nrx"))
@@ -795,11 +808,13 @@ class RxEngine:
                 continue
             seen_canons.add(canon)
             if (spec_canon is not None and canon == spec_canon
-                    and cfg.n_trellis == canon.n_trellis and fits[i]):
+                    and cfg.n_trellis == canon.n_trellis and fits[i]
+                    and i < len(spec_psdu)):
                 # speculation hit: the fused program already decoded this
-                # row — no further device work or readback for it
-                pb = spec_psdu[orig[i]][: cfg.psdu_len].tobytes()
-                ss = (float(spec_sssnr[orig[i]])
+                # row (kept-row i == compacted psdu row i) — no further
+                # device work or readback for it
+                pb = spec_psdu[i][: cfg.psdu_len].tobytes()
+                ss = (float(spec_sssnr[i])
                       if canon.fmt == Fmt.VHT and canon.nss == 1 else None)
                 results[i] = self._mk_data_result(
                     cfg, pb, int(ltf_idx[i]), float(cfo[i]), int(trigs[i]),
@@ -838,12 +853,12 @@ class RxEngine:
                 results[i] = r
         self._process_mu(dev, ltf_idx, cfo, trigs, meta, results,
                          n_stream, snr_db, rssi)
-        # next-block speculation: homogeneous SU data traffic arms it,
-        # mixed data traffic disarms, data-free blocks (NDP/MU/idle)
-        # leave it as-is
-        if len(seen_canons) == 1:
+        # next-block speculation: homogeneous SPARSE data traffic arms
+        # it, mixed data traffic or dense blocks (beyond the compacted
+        # psdu readback) disarm, data-free blocks (NDP/MU/idle) leave it
+        if len(seen_canons) == 1 and len(ltf_idx) <= SPEC_ROWS:
             self._spec_canon = next(iter(seen_canons))
-        elif len(seen_canons) > 1:
+        elif seen_canons:
             self._spec_canon = None
         return [r for r in results if r is not None]
 
