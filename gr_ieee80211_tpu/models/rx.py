@@ -574,7 +574,8 @@ SPEC_ROWS = 512
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nrx", "max_pkts"))
-def _spec_core(cfg: PhyConfig, stream: CF, max_pkts: int, nrx: int = 1):
+def _spec_core(cfg: PhyConfig, stream: CF, max_pkts: int, nrx: int = 1,
+               n_real: jax.Array | None = None):
     """Speculative ONE-CROSSING chain: front end + payload decode for a
     PRESUMED config, fused into a single program with a single readback.
 
@@ -608,7 +609,7 @@ def _spec_core(cfg: PhyConfig, stream: CF, max_pkts: int, nrx: int = 1):
     li2 = jnp.clip(ltf_idx, 0, max(n - n_need - 1, 0))
     want_sssnr = cfg.fmt == Fmt.VHT and cfg.nss == 1
     out = _payload_core(cfg, stream[:nrx], li2, cfo, nrx=nrx,
-                        want_sssnr=want_sssnr)
+                        n_real=n_real, want_sssnr=want_sssnr)
     meta = jnp.concatenate(
         [trigs.astype(jnp.float32)[:, None],
          ltf_idx.astype(jnp.float32)[:, None],
@@ -702,10 +703,16 @@ class RxEngine:
         n_stream = stream.shape[1]
         spec = self._spec_canon if self.speculate else None
         if spec is not None:
+            canon, nreal = spec
             min_sp = (TRIG_DEDUP_SPACING // 16) * 16
             cap = max(16, min(4096, n_stream // min_sp + 1))
             max_pkts = 1 << (cap - 1).bit_length()
-            outs = _spec_core(spec, dev, max_pkts, nrx=self.nrx)
+            # the armed traffic's exact trellis length rides as a TRACED
+            # per-row n_real (no recompile across lengths sharing a
+            # canon; identical decode semantics to the bucket path)
+            nr = jnp.full((max_pkts,), nreal, jnp.int32)
+            outs = _spec_core(canon, dev, max_pkts, nrx=self.nrx,
+                              n_real=nr)
             return (dev, n_stream, ("spec", spec) + outs)
         meta_d, bits_d = self._front_dispatch(dev, n_stream)
         return (dev, n_stream, ("front", meta_d, bits_d))
@@ -806,16 +813,16 @@ class RxEngine:
                     > n_stream:
                 meta.append(None)
                 continue
-            seen_canons.add(canon)
-            if (spec_canon is not None and canon == spec_canon
-                    and cfg.n_trellis == canon.n_trellis and fits[i]
+            seen_canons.add((canon, cfg.n_trellis))
+            if (spec_canon is not None
+                    and (canon, cfg.n_trellis) == spec_canon and fits[i]
                     and i < len(spec_psdu)):
                 # speculation hit: the fused program already decoded this
                 # row (kept-row i == compacted psdu row i) — no further
                 # device work or readback for it
                 pb = spec_psdu[i][: cfg.psdu_len].tobytes()
                 ss = (float(spec_sssnr[i])
-                      if canon.fmt == Fmt.VHT and canon.nss == 1 else None)
+                      if cfg.fmt == Fmt.VHT and cfg.nss == 1 else None)
                 results[i] = self._mk_data_result(
                     cfg, pb, int(ltf_idx[i]), float(cfo[i]), int(trigs[i]),
                     float(snr_db[i]), float(rssi[i]), ss)

@@ -24,6 +24,19 @@ The lane tile adapts to the batch: a 512-packet long-trellis bucket runs
 with b_tile=512 instead of padding to 1024 lanes (the HBM budget caps
 long-trellis batches below a full tile, models/rx.RxEngine._decode_bucket).
 
+Round-5 packed-planes verdict (acs_sweep_packed / traceback_sweep_packed,
+kept in-tree as bit-exact reference kernels but NOT wired into the decode
+path): packing 4 steps per int8 cuts the decision-plane HBM traffic 4x on
+both sides, yet measures AT PARITY on the ACS (18.8 vs 18.3 ms at
+(4480, 4096); 22.2 vs 21.9 at (5312, 4096); 4.2 vs 4.2 at (512, 8192))
+and LOSES on the traceback (full decode 31.5 vs 28.8 / 37.2 vs 34.2 /
+7.5 vs 6.6 ms): the 2 extra shift-accumulate VPU ops per half per step
+(ACS) and the MSB-peel unpack (traceback) cost more than the bandwidth
+they save — these kernels are VPU-op-bound, not HBM-bound, which also
+explains the flat ~8.5 ms 'store cost' (it is loop-body op time, not
+store bandwidth).  This closes the round-4 'bit-packed planes' lever
+with the same verdict as every prior packing attempt below.
+
 Measured dead ends on the v5e (radix-4 et al., kept OUT of the tree):
 two-steps-per-iteration ACS variants — radix-4 over state quartets
 (53 ms vs 24 ms at B=4096 x T=5312: the stride-4 sublane extracts lose),
