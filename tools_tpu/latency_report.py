@@ -231,12 +231,14 @@ def main():
         "block flushed with silence; plus the fused single-dispatch chain.",
         "",
         "On this tunneled TPU backend one device->host readback costs ~26 ms",
-        "of relay round trip.  Round 4 fused the engine front end (detect/",
-        "dedup/sync/SIG) into ONE packed-array dispatch, cutting the daemon",
-        "path from ~8-10 crossings (~230-290 ms p50 in round 3) to ~3",
-        "(upload + front + bucket decode); p50 sits near the 3-crossing",
-        "floor.  On a host-attached TPU the relay term vanishes; the",
-        "amortized per-packet column is the architecture's real currency.",
+        "of relay round trip.  Round 4 fused the front end into one packed",
+        "dispatch (~8-10 crossings down to ~3, p50 79-126 ms); round 5's",
+        "speculative one-crossing chain (models/rx._spec_core: fused",
+        "front+decode for the steady-state config, host-verified against",
+        "the SIG bits, compacted psdu readback) reaches p50 ~49-64 ms =",
+        "1 crossing + upload + compute + daemon cadence.  On a host-",
+        "attached TPU the relay term vanishes; the amortized per-packet",
+        "column is the architecture's real currency.",
         "",
         "## Daemon RTT, VHT, one packet in flight (ms)",
         "",
