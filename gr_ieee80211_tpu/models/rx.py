@@ -42,6 +42,29 @@ NLSIG_GI = 208
 #: one packet (preamble clusters span <700; packets are >=720 samples)
 TRIG_DEDUP_SPACING = 700
 
+#: decision-directed second-pass chanest gate: batches whose L-LTF
+#: repeat-difference SNR proxy falls below this use the data-aided
+#: estimate (ops.ofdm.refine_chanest_data).  23.5 dB is where the
+#: first-pass mean syndrome crosses ~32 hard errors/row (the fastdecode
+#: big-windowed-tier boundary at B=4096): below it the full Viterbi
+#: sweep (or the largest tier) runs anyway and dd buys PER (+44%
+#: decoded at 18 dB, measured) plus fewer dirty windows; above it the
+#: windowed tiers are already cheap and the ~1.2 ms pass would cost
+#: more than it saves.
+DD_GATE_SNR_DB = 23.5
+
+#: per-(nbpscs, coding rate) LOWER dd gate bound (dB): ~1.5 dB under the
+#: modulation's AWGN PER waterfall.  Below it every packet in the batch
+#: is lost regardless of estimate quality, so the dd pass would be pure
+#: cost on batches that already pay the full-Viterbi floor.  Values are
+#: coarse (waterfall midpoints measured with the CPU harness, minus
+#: margin) — only the decade matters.
+_DD_GATE_LO = {(1, "1/2"): 0.0, (1, "3/4"): 1.5,
+               (2, "1/2"): 2.5, (2, "3/4"): 4.5,
+               (4, "1/2"): 7.5, (4, "3/4"): 11.5,
+               (6, "2/3"): 14.5, (6, "3/4"): 15.5, (6, "5/6"): 17.0,
+               (8, "3/4"): 20.0, (8, "5/6"): 21.5}
+
 #: bucket-shape canonicalization ladder (~1.25x geometric): live traffic maps
 #: a long tail of payload lengths onto a handful of compiled programs instead
 #: of one XLA program per (fmt, mcs, len, nsym).  The reference has no analog
@@ -374,6 +397,45 @@ def _payload_core(cfg: PhyConfig, stream: CF, ltf_idx: jax.Array,
     grids = cstack([OF.extract_sym_windows(xs[:, r], data_start, cfg.nsym)
                     for r in range(nrx)], axis=1)
     grids = OF.fft_syms(grids)                       # (B, nrx, nsym, 64)
+    if refine and cfg.nss == 1:
+        # decision-directed second-pass chanest, gated on a nearly-free
+        # SNR proxy: every payload symbol becomes a channel observation
+        # (hard-sliced QAM decisions + known pilot polarities,
+        # ops.ofdm.refine_chanest_data) — worth ~10-35% fewer channel
+        # hard errors and +44% decoded packets at the 18 dB floor
+        # (measured), but the pass costs ~1.2 ms/batch, so clean
+        # high-SNR batches must skip it.  The gate must NOT need the
+        # demod: a first-pass-syndrome gate was measured at +0.5 ms peak
+        # / +8.4 ms floor (double demap + double GF(2) inverse).  The
+        # two L-LTF repeats give noise (their difference) and signal
+        # (their sum) directly — two 64-pt MXU FFTs per row — so the
+        # equalize/demap/decode run exactly once on both paths.
+        l1 = OF.fft_syms(xs[:, 0, 0:64])
+        l2 = OF.fft_syms(xs[:, 0, 64:128])
+        nz = jnp.asarray(OF._LTF_L_NZ.astype(np.float32))
+        d2 = jnp.sum((l1 - l2).abs2() * nz, axis=1)      # 2*noise var
+        s2 = jnp.sum((l1 + l2).abs2() * nz, axis=1)      # 4*sig + 2*noise
+        # energy-weighted batch SNR (padded zero rows contribute nothing):
+        # snr = (S - D) / (2 D);  dd when inside [mcs lower bound, 23.5]
+        # — batches >1.5 dB below this mcs's waterfall are lost whatever
+        # the estimate does, so dd must not tax them either
+        sd = jnp.sum(s2) - jnp.sum(d2)
+        dsum = jnp.sum(d2)
+        lo = _DD_GATE_LO.get((cfg.nbpscs, cfg.cr), 0.0)
+        pred = ((sd < 2.0 * 10.0 ** (DD_GATE_SNR_DB / 10.0) * dsum)
+                & (sd > 2.0 * 10.0 ** (lo / 10.0) * dsum))
+
+        # the cond selects only (h, pilot_h); equalize/demap/decode run
+        # once, outside.  The gate infrastructure costs a flat ~0.6 ms
+        # at B=4096 whichever way it is cut: moving the equalizer INSIDE
+        # both branches (so the clean branch would keep the pre-dd fully
+        # fused program shape) measured the same 10.3-10.5 ms at 32 dB
+        # and 41.4-41.5 ms at 18 dB — the cost is the cond itself, not a
+        # lost producer->equalizer fusion, so keep the smaller trace
+        def _dd(_):
+            return OF.refine_chanest_data(grids, h, pilot_h, cfg)
+
+        h, pilot_h = jax.lax.cond(pred, _dd, lambda _: (h, pilot_h), None)
     llr = OF.equalize_and_demap(grids, h, pilot_h, cfg, nrx_axis=True)
     coded = OF.deinterleave_deparse(llr, cfg)        # (B, nsym*ncbps)
     bits = adaptive_decode(coded, cfg.cr, cfg.n_trellis,

@@ -94,9 +94,9 @@ def nl_chanest(xs: CF, ltf_start: int, nltf: int, nss: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _delay_projector():
+def _delay_projector(legacy: bool = False):
     """(active idx, P_re, P_im): weighted LS projector onto the <=32-tap
-    delay subspace over the 56 non-legacy active tones.
+    delay subspace over the 56 non-legacy (52 legacy) active tones.
 
     A single-LTF channel estimate carries one full data-tone noise
     variance COMMON to every data symbol of the packet — the dominant
@@ -108,13 +108,15 @@ def _delay_projector():
     nulls make naive IFFT-truncate biased — the weighted LS projector
     (weights 3:1 for L-combined vs NL-only tones, see refine_chanest_siso)
     handles the masked spectrum exactly."""
-    act = np.flatnonzero(_LTF_NL_NZ)
+    act = np.flatnonzero(_LTF_L_NZ if legacy else _LTF_NL_NZ)
     ks = np.where(act > 32, act - 64, act).astype(np.float64)
     taps = np.arange(-4, 28)
     F = np.exp(-2j * np.pi * ks[:, None] * taps[None, :] / 64)
     # nominal per-tone observation counts after the L-LTF combine and the
-    # decision-directed SIG passes (common L tones ~6, NL-only edge ~2)
-    wts = np.where(_LTF_L_NZ[act], 6.0, 2.0)
+    # decision-directed SIG passes (common L tones ~6, NL-only edge ~2);
+    # legacy estimates come from the 2 L-LTF symbols only (uniform 2)
+    wts = (np.full(act.shape, 2.0) if legacy
+           else np.where(_LTF_L_NZ[act], 6.0, 2.0))
     P = F @ np.linalg.solve((F.conj().T * wts[None, :]) @ F,
                             F.conj().T * wts[None, :])
     # numpy (not jnp): cached values must stay host constants or they leak
@@ -247,6 +249,119 @@ def refine_chanest_siso(xs: CF, h: CF, pilot_h: CF,
 def _pilot_matrix(fmt: Fmt, nss: int, nsym: int) -> np.ndarray:
     from ..gold.tx import data_pilots
     return data_pilots(fmt, nss, nsym).astype(np.float32)  # (nsym, nss, 4)
+
+
+#: data-aided pass coherence gate — decisions are made against the prior
+#: estimate, so the data-derived channel is phase-aligned by construction
+#: and decoherence only appears when the slicer output is garbage
+_DD_COH = 0.80
+
+
+def refine_chanest_data(grids: CF, h: CF, pilot_h: CF,
+                        cfg: PhyConfig) -> tuple[CF, CF]:
+    """Decision-directed DATA-symbol second-pass channel refinement (1 SS).
+
+    The preamble-only estimate (even after :func:`refine_chanest_siso`)
+    carries ~6 observations per tone; the payload itself carries ``nsym``
+    more.  Hard-slicing each equalized data tone to the nearest QAM point
+    recovers the transmitted grid without any decoding (at packet-decodable
+    SNR per-tone symbol errors are rare, and an error lands on an adjacent
+    point so its bias is bounded), and the per-symbol pilot polarities are
+    known exactly — so one extra ZF pass turns every payload symbol into a
+    channel observation.  Observations are LS-weighted by decided-symbol
+    energy, combined with the prior estimate under its nominal observation
+    count, coherence-gated per (row, rx) and re-projected onto the delay
+    subspace (:func:`_delay_projector`).  Unlike the L-LTF combine this is
+    safe under SU beamforming: the data symbols see exactly the effective
+    channel the NL-LTF measured.  The reference never re-estimates after
+    the preamble (gr-ieee80211 lib/demod_impl.cc); this pass is the
+    round-5 mid-SNR lever on top of refine_chanest_siso.
+
+    grids: (B, nrx, nsym, 64) FFT'd symbol grids (pre phase-correction);
+    h: (B, nrx, 1, 64); pilot_h: (B, nrx, 4).  Returns refined (h, pilot_h).
+    """
+    assert cfg.nss == 1
+    legacy = cfg.fmt == Fmt.L
+    B, nrx, nsym, _ = grids.shape
+    didx = T.DATA_IDX_L if legacy else T.DATA_IDX_NL
+    act_np, pre_np, pim_np = _delay_projector(legacy)
+    act = jnp.asarray(act_np)
+    p_re = jnp.asarray(pre_np)
+    p_im = jnp.asarray(pim_np)
+    pilots = _pilot_matrix(cfg.fmt, 1, nsym)[:, 0]        # (nsym, 4) real
+
+    # per-symbol common-phase correction, same convention as the equalizer
+    exp_p = CF(pilot_h.re[:, :, None, :] * pilots[None, None],
+               pilot_h.im[:, :, None, :] * pilots[None, None])
+    rx_p = grids[:, :, :, T.PILOT_IDX]                    # (B,nrx,nsym,4)
+    ph = csum(rx_p.mul_conj(exp_p), axis=(1, 3)).unit()   # (B, nsym)
+
+    # ZF combine across nrx, slice to the nearest constellation point
+    # (f32 throughout: a bf16 interior was built and measured — no
+    # wall-clock change at either bench point, the pass is not
+    # bandwidth-bound at these tensor sizes, and it cost 840 -> 822
+    # decoded packets at 18 dB from decision-boundary quantization)
+    phc = CF(ph.re[:, None, :, None], -ph.im[:, None, :, None])
+    y = CF(grids.re[:, :, :, didx], grids.im[:, :, :, didx]) * phc
+    hd = CF(h.re[:, :, 0][:, :, didx], h.im[:, :, 0][:, :, didx])
+    g00 = jnp.sum(hd.abs2(), axis=1)                      # (B, nsd)
+    r0 = csum(hd.conj().reshape(B, nrx, 1, -1) * y, axis=1)
+    eq = r0 * (1.0 / jnp.maximum(g00, 1e-20))[:, None, :]  # (B,nsym,nsd)
+    k = float(T.KMOD[cfg.nbpscs])
+    if cfg.nbpscs == 1:
+        s = CF(jnp.sign(eq.re) + (eq.re == 0), jnp.zeros_like(eq.re))
+    else:
+        lev = 1 << (cfg.nbpscs // 2)                      # points per axis
+
+        def _slice_axis(v):
+            q = jnp.clip(jnp.round((v * k - 1.0) * 0.5),
+                         -(lev // 2), lev // 2 - 1)
+            return (2.0 * q + 1.0) * (1.0 / k)
+
+        s = CF(_slice_axis(eq.re), _slice_axis(eq.im))
+    es = jnp.sum(s.abs2(), axis=1)                        # (B, nsd)
+    prod = y * CF(s.re[:, None], -s.im[:, None])
+    num = CF(jnp.sum(prod.re, axis=2), jnp.sum(prod.im, axis=2))
+    # pilot tones: transmitted values known exactly (polarity sequence)
+    num_p = csum(rx_p * CF(ph.re[:, None, :, None] * pilots[None, None],
+                           -ph.im[:, None, :, None] * pilots[None, None]),
+                 axis=2)                                  # (B, nrx, 4)
+
+    # coherence gate per (row, rx): data-derived vs prior over data tones
+    hd_dd = num * (1.0 / jnp.maximum(es, 1e-12))[:, None, :]
+    cg = csum(hd_dd.mul_conj(hd), axis=2)                 # (B, nrx)
+    e_p = jnp.sum(hd.abs2(), axis=2)
+    e_d = jnp.sum(hd_dd.abs2(), axis=2)
+    gate = (cg.abs() / jnp.sqrt(jnp.maximum(e_p * e_d, 1e-20))
+            > _DD_COH).astype(jnp.float32)                # (B, nrx)
+
+    # weighted combine on the 64-tone grid (prior nominal counts: 6/2
+    # after refine_chanest_siso, uniform 2 for the legacy 2-symbol LTF,
+    # matching _delay_projector's weighting assumptions; inactive tones
+    # get weight 1 with zero observations so they pass the prior through)
+    if legacy:
+        w0 = jnp.asarray(np.where(_LTF_L_NZ, 2.0, 1.0).astype(np.float32))
+    else:
+        w0 = jnp.asarray(np.where(_LTF_NL_NZ,
+                                  np.where(_LTF_L_NZ, 6.0, 2.0),
+                                  1.0).astype(np.float32))
+    den64 = (jnp.zeros((B, 1, 64), jnp.float32)
+             .at[:, :, didx].add(es[:, None])
+             .at[:, :, T.PILOT_IDX].add(jnp.float32(nsym)))
+    num64 = CF(jnp.zeros((B, nrx, 64), jnp.float32)
+               .at[:, :, didx].add(num.re).at[:, :, T.PILOT_IDX].add(num_p.re),
+               jnp.zeros((B, nrx, 64), jnp.float32)
+               .at[:, :, didx].add(num.im).at[:, :, T.PILOT_IDX].add(num_p.im))
+    g = gate[:, :, None]
+    hc_re = (w0 * h[:, :, 0].re + g * num64.re) / (w0 + g * den64)
+    hc_im = (w0 * h[:, :, 0].im + g * num64.im) / (w0 + g * den64)
+    a_re, a_im = hc_re[..., act], hc_im[..., act]
+    s_re = a_re @ p_re.T - a_im @ p_im.T
+    s_im = a_re @ p_im.T + a_im @ p_re.T
+    hc_re = hc_re.at[..., act].set(s_re)
+    hc_im = hc_im.at[..., act].set(s_im)
+    hr = CF(hc_re[:, :, None, :], hc_im[:, :, None, :])
+    return hr, CF(hc_re[..., T.PILOT_IDX], hc_im[..., T.PILOT_IDX])
 
 
 def equalize_and_demap(grids: CF, h: CF, pilot_h: CF,
