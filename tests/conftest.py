@@ -37,3 +37,19 @@ def golden():
         path = os.path.join(os.path.dirname(__file__), "golden", "golden.npz")
         _GOLDEN = np.load(path, allow_pickle=False)
     return _GOLDEN
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches_between_modules():
+    """Free compiled executables at test-module boundaries.
+
+    The full single-process suite started segfaulting inside the XLA CPU
+    compiler (backend_compile_and_load, while compiling an unrelated
+    front-end program in test_mu_fused) once the decision-directed
+    chanest cond landed — every module passes in isolation and in pairs,
+    so the crash needs a long in-process compilation history; clearing
+    the jit caches bounds that history.  See CLAUDE.md known issues.
+    """
+    yield
+    import jax
+    jax.clear_caches()
